@@ -1,0 +1,147 @@
+"""Vectorized 8-point RANSAC over a hypothesis bank.
+
+TPU-native replacement for the reference's ``estimateE``
+(reference SfM/sfm.cu:94-153): the reference shuffles indices on the
+HOST (std::mt19937, SfM/sfm.cu:96-106), launches a per-batch transpose
+loop, and materializes O(N*R) scoring intermediates (SfM/sfm.cu:163-196).
+
+Here the whole bank runs on device under one jit:
+  * sampling via the JAX counter-based PRNG (deterministic, seedable);
+  * all hypotheses solved in one batched Gram eigensolve;
+  * scoring chunked over the bank with ``lax.map`` so peak memory is
+    O(chunk * N) while the inlier counts are the only live output;
+  * winner by ``argmax`` on device (the reference's thrust::max_element
+    D->H readback + off-by-one at SfM/sfm.cu:135-140 disappears);
+  * optional all-inlier least-squares refit (LO-RANSAC style polish,
+    absent in the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.ops import linalg
+from sfm_tpu.geometry import epipolar
+
+
+class RansacResult(NamedTuple):
+    E: jax.Array          # [3, 3] best essential matrix
+    inliers: jax.Array    # [N] bool mask
+    num_inliers: jax.Array  # [] int32
+    best_index: jax.Array   # [] index into the hypothesis bank
+    counts: jax.Array     # [R] per-hypothesis inlier counts
+
+
+def sample_minimal_sets(key, mask, n_hyps: int):
+    """Sample [n_hyps, 8] indices of valid correspondences.
+
+    Valid indices are compacted to the front (stable sort on ~mask) and
+    drawn uniformly with replacement across hypotheses — the within-set
+    collision probability is negligible for N >> 8 and a degenerate set
+    only wastes its own hypothesis slot.
+    """
+    n = mask.shape[0]
+    order = jnp.argsort(~mask, stable=True)  # valid indices first
+    n_valid = jnp.maximum(jnp.sum(mask), 1)
+    draw = jax.random.randint(key, (n_hyps, 8), 0, jnp.asarray(n, jnp.int32))
+    draw = draw % n_valid
+    return order[draw]
+
+
+def _count_chunk(E_chunk, x1, x2, mask, threshold):
+    r = epipolar.epipolar_residuals(E_chunk, x1, x2)  # [C, N]
+    return jnp.sum((r < threshold) & mask[None, :], axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_hyps", "chunk", "sweeps", "refit_iters"),
+)
+def ransac_essential(
+    key,
+    x1,
+    x2,
+    mask=None,
+    *,
+    n_hyps: int = 2048,
+    threshold: float = 1e-6,
+    chunk: int = 256,
+    sweeps: int = 10,
+    refit_iters: int = 2,
+) -> RansacResult:
+    """Estimate E from [N, 3] normalized correspondences.
+
+    Args:
+      key: PRNG key (reference uses a nondeterministic host RNG,
+        SfM/sfm.cu:102-103; we are reproducible by construction).
+      mask: optional [N] validity mask over correspondences.
+      n_hyps: hypothesis bank size (reference: floor(N/8), SfM/sfm.cu:95).
+      threshold: inlier threshold on symmetric squared epipolar distance
+        in normalized coords (reference: 1e-6 algebraic, SfM/sfm.cu:220).
+      chunk: hypotheses scored per lax.map step (memory = chunk * N).
+      refit_iters: all-inlier least-squares polish rounds (0 disables).
+    """
+    n = x1.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+
+    # Hartley-normalize once globally: all hypotheses share T1/T2, and
+    # estimated matrices are denormalized before essential projection.
+    T1 = epipolar.normalizing_transform(x1, mask)
+    T2 = epipolar.normalizing_transform(x2, mask)
+    x1n = x1 @ T1.T
+    x2n = x2 @ T2.T
+
+    idx = sample_minimal_sets(key, mask, n_hyps)  # [R, 8]
+    A = epipolar.eight_point_matrix(x1n[idx], x2n[idx])
+    e = linalg.qr_nullvec(A)
+    E_hat = e.reshape(-1, 3, 3)
+    E_bank = linalg.project_to_essential(
+        epipolar.denormalize_E(E_hat, T1, T2), sweeps=sweeps
+    )
+
+    n_chunks = -(-n_hyps // chunk)
+    pad = n_chunks * chunk - n_hyps
+    E_pad = jnp.concatenate(
+        [E_bank, jnp.broadcast_to(jnp.eye(3, dtype=E_bank.dtype), (pad, 3, 3))]
+    ) if pad else E_bank
+    counts = jax.lax.map(
+        lambda Ec: _count_chunk(Ec, x1, x2, mask, threshold),
+        E_pad.reshape(n_chunks, chunk, 3, 3),
+    ).reshape(-1)[:n_hyps]
+
+    best = jnp.argmax(counts)
+    E = E_bank[best]
+
+    A_all = epipolar.eight_point_matrix(x1n, x2n)  # [N, 9]
+
+    def polish(E, _):
+        r = epipolar.epipolar_residuals(E, x1, x2)
+        w = ((r < threshold) & mask).astype(x1.dtype)
+        G = jnp.einsum("ni,n,nj->ij", A_all, w, A_all)
+        e = linalg.smallest_eigvec(G, sweeps=sweeps)
+        E_new = linalg.project_to_essential(
+            epipolar.denormalize_E(e.reshape(3, 3), T1, T2), sweeps=sweeps
+        )
+        # Keep the refit only if it does not lose inliers.
+        c_old = jnp.sum(w).astype(jnp.int32)
+        r_new = epipolar.epipolar_residuals(E_new, x1, x2)
+        c_new = jnp.sum((r_new < threshold) & mask).astype(jnp.int32)
+        return jnp.where(c_new >= c_old, E_new, E), None
+
+    if refit_iters:
+        E, _ = jax.lax.scan(polish, E, None, length=refit_iters)
+
+    r = epipolar.epipolar_residuals(E, x1, x2)
+    inl = (r < threshold) & mask
+    return RansacResult(
+        E=E,
+        inliers=inl,
+        num_inliers=jnp.sum(inl).astype(jnp.int32),
+        best_index=best,
+        counts=counts,
+    )

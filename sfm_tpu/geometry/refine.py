@@ -1,0 +1,122 @@
+"""On-manifold relative-pose refinement (two-view motion-only GN).
+
+No reference counterpart: the reference stops at the raw RANSAC winner
+(README.md:42 "Bundle adjustment ... way outside the scope").  This
+module is the first rung of the optimization ladder — a fixed-iteration
+damped Gauss-Newton on the 5-DOF relative pose (R in SO(3), t on S^2)
+minimizing robust Sampson error.  Everything is jit-compiled: jacobians
+via forward-mode autodiff (5 JVPs over all N points at once), a 5x5
+solve per iteration, gain-ratio damping via branchless `where`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.ops.linalg import cross_matrix
+from sfm_tpu.geometry import lie
+
+
+class RefineResult(NamedTuple):
+    R: jax.Array
+    t: jax.Array
+    E: jax.Array
+    cost: jax.Array
+    initial_cost: jax.Array
+
+
+def essential_from_pose(R, t):
+    """E = [t]_x R."""
+    return cross_matrix(t) @ R
+
+
+def _sampson(E, x1, x2):
+    """Signed Sampson residuals [N]."""
+    l1 = jnp.einsum("ij,nj->ni", E, x1)
+    l2 = jnp.einsum("ji,nj->ni", E, x2)
+    num = jnp.einsum("ni,ni->n", x2, l1)
+    den = l1[..., 0] ** 2 + l1[..., 1] ** 2 + l2[..., 0] ** 2 + l2[..., 1] ** 2
+    return num / jnp.sqrt(jnp.maximum(den, 1e-18))
+
+
+def _huber_weights(r, delta):
+    a = jnp.abs(r)
+    return jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-18))
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def refine_relative_pose(
+    R,
+    t,
+    x1,
+    x2,
+    weights=None,
+    *,
+    iters: int = 10,
+    huber_delta: float = 3e-3,
+    damping: float = 1e-8,
+) -> RefineResult:
+    """Refine (R, t) on SO(3) x S^2 against [N, 3] correspondences.
+
+    Args:
+      weights: optional [N] inlier mask/weights.
+      huber_delta: Huber threshold on the (linear) Sampson residual in
+        normalized-image units (~pixels / focal).
+    """
+    n = x1.shape[0]
+    w_in = jnp.ones((n,), x1.dtype) if weights is None else weights.astype(x1.dtype)
+    t = t / jnp.linalg.norm(t)
+
+    def residuals(params, R0, t0):
+        dr = params[:3]
+        dt = params[3:]
+        Rn = R0 @ lie.so3_exp(dr)
+        B = lie.tangent_basis(t0)  # [3, 2]
+        tn = t0 + B @ dt
+        tn = tn / jnp.linalg.norm(tn)
+        E = essential_from_pose(Rn, tn)
+        return _sampson(E, x1, x2)
+
+    def cost_of(r, w):
+        # Huber cost (for accept/reject decisions)
+        a = jnp.abs(r)
+        d = huber_delta
+        c = jnp.where(a <= d, 0.5 * r * r, d * (a - 0.5 * d))
+        return jnp.sum(c * w)
+
+    def step(carry, _):
+        R0, t0, lam = carry
+        zero = jnp.zeros((5,), x1.dtype)
+        r = residuals(zero, R0, t0)
+        J = jax.jacfwd(residuals)(zero, R0, t0)  # [N, 5]
+        w = w_in * _huber_weights(r, huber_delta)
+        JtW = J.T * w[None, :]
+        H = JtW @ J
+        g = JtW @ r
+        H = H + (damping + lam) * jnp.eye(5, dtype=x1.dtype) * jnp.maximum(
+            jnp.trace(H) / 5.0, 1e-12
+        )
+        delta = -jnp.linalg.solve(H, g)
+        r_new = residuals(delta, R0, t0)
+        c_old = cost_of(r, w_in)
+        c_new = cost_of(r_new, w_in)
+        ok = c_new < c_old
+        # Apply the update only on improvement; adapt damping LM-style.
+        Rn = R0 @ lie.so3_exp(jnp.where(ok, delta[:3], 0.0))
+        B = lie.tangent_basis(t0)
+        tn = t0 + B @ jnp.where(ok, delta[3:], 0.0)
+        tn = tn / jnp.linalg.norm(tn)
+        lam = jnp.where(ok, lam * 0.33, lam * 8.0)
+        lam = jnp.clip(lam, 1e-10, 1e4)
+        return (Rn, tn, lam), c_new
+
+    r0 = _sampson(essential_from_pose(R, t), x1, x2)
+    c0 = cost_of(r0, w_in)
+    (Rf, tf, _), _ = jax.lax.scan(step, (R, t, jnp.asarray(1e-4, x1.dtype)), None, length=iters)
+    rf = _sampson(essential_from_pose(Rf, tf), x1, x2)
+    cf = cost_of(rf, w_in)
+    return RefineResult(R=Rf, t=tf, E=essential_from_pose(Rf, tf), cost=cf, initial_cost=c0)

@@ -1,0 +1,82 @@
+"""Batched linear (DLT) triangulation.
+
+TPU-native replacement for the reference's per-point 4x4 DLT systems +
+``cusolverDnSgesvdjBatched`` + dehomogenize kernel
+(reference SfM/sfm.cu:309-344, SfM/kernels.h:387-450): one vmapped Gram
+null-vector solve over all N points, no host loop, no solver handles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.ops import linalg
+
+
+def make_projection(R, t):
+    """[..., 3, 4] projection P = [R | t] in normalized camera coords."""
+    return jnp.concatenate([R, t[..., :, None]], axis=-1)
+
+
+def dlt_system(x1, x2, P1, P2):
+    """Per-point 4x4 DLT matrix (reference SfM/kernels.h:387-431).
+
+    Args:
+      x1, x2: [..., N, 3] normalized homogeneous observations.
+      P1, P2: [..., 3, 4] camera projections (broadcast over N).
+
+    Rows: x*P[2]-P[0], y*P[2]-P[1] for each view.
+    """
+    P1 = P1[..., None, :, :]
+    P2 = P2[..., None, :, :]
+    r0 = x1[..., 0:1] * P1[..., 2, :] - P1[..., 0, :]
+    r1 = x1[..., 1:2] * P1[..., 2, :] - P1[..., 1, :]
+    r2 = x2[..., 0:1] * P2[..., 2, :] - P2[..., 0, :]
+    r3 = x2[..., 1:2] * P2[..., 2, :] - P2[..., 1, :]
+    return jnp.stack([r0, r1, r2, r3], axis=-2)  # [..., N, 4, 4]
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps", "w_clamp"))
+def triangulate(x1, x2, P1, P2, *, sweeps: int = 10, w_clamp: float = 5.0):
+    """Triangulate all correspondences; returns (X [..., N, 3], w [..., N]).
+
+    ``w`` is the homogeneous scale; points with |w| below 1/w_clamp of the
+    spatial norm are near-infinite.  The reference clamps |w| > 5 outliers
+    to the origin (SfM/kernels.h:433-450); we return the dehomogenized
+    points plus a finite-point validity mask instead of destroying data.
+    """
+    A = dlt_system(x1, x2, P1, P2)
+    X_h = linalg.gram_nullvec(A, sweeps=sweeps)  # [..., N, 4] unit norm
+    w = X_h[..., 3]
+    denom = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
+    X = X_h[..., :3] / denom[..., None]
+    finite = jnp.abs(1.0 / denom) <= w_clamp * jnp.linalg.norm(
+        X_h[..., :3], axis=-1
+    ) + w_clamp
+    return X, w, finite
+
+
+def depths(X, R, t):
+    """Depth of world points in a camera (R, t): z of R X + t."""
+    return jnp.einsum("...ij,...nj->...ni", R, X)[..., 2] + t[..., None, 2]
+
+
+def reprojection_errors(X, x1, x2, R, t):
+    """Squared reprojection error in both normalized image planes.
+
+    x1 observes X from the identity camera, x2 from (R, t).
+    Returns [..., N].
+    """
+    z1 = jnp.maximum(jnp.abs(X[..., 2]), 1e-12) * jnp.sign(
+        jnp.where(X[..., 2] == 0, 1.0, X[..., 2])
+    )
+    p1 = X[..., :2] / z1[..., None]
+    Xc = jnp.einsum("...ij,...nj->...ni", R, X) + t[..., None, :]
+    z2 = jnp.where(jnp.abs(Xc[..., 2]) < 1e-12, 1e-12, Xc[..., 2])
+    p2 = Xc[..., :2] / z2[..., None]
+    e1 = jnp.sum((p1 - x1[..., :2] / x1[..., 2:3]) ** 2, axis=-1)
+    e2 = jnp.sum((p2 - x2[..., :2] / x2[..., 2:3]) ** 2, axis=-1)
+    return e1 + e2
