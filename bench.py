@@ -1,0 +1,84 @@
+"""Benchmark: dino-pair end-to-end two-view SfM on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's ~47 ms/pair on a GTX 1080 Ti (BASELINE.md,
+sum of img/time.PNG stage bars).  vs_baseline is the speedup factor
+(baseline_ms / our_ms; > 1 means faster than the reference).
+
+Extra per-stage timings and quality metrics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_tpu.config import SiftConfig, PipelineConfig, RansacConfig
+    from sfm_tpu.io.image_io import load_gray
+    from sfm_tpu.models import two_view
+    from sfm_tpu.sift import frontend, match as match_mod
+
+    log(f"devices: {jax.devices()}")
+
+    img1 = jnp.asarray(load_gray("/root/reference/data/dino/viff.000.ppm"))
+    img2 = jnp.asarray(load_gray("/root/reference/data/dino/viff.001.ppm"))
+    h, w = img1.shape
+    K = jnp.asarray(
+        np.array([[2360.0, 0, w / 2], [0, 2360.0, h / 2], [0, 0, 1]], np.float32)
+    )
+    cfg = PipelineConfig(
+        sift=SiftConfig(max_pts_per_octave=1024),
+        ransac=RansacConfig(n_hyps=1024, threshold=3e-6, chunk=256),
+    )
+    jax.block_until_ready((img1, img2, K))
+
+    def run():
+        return two_view.run_two_view(img1, img2, K, cfg)
+
+    t0 = time.time()
+    res = run()
+    jax.block_until_ready(res)
+    log(f"compile+first run: {time.time()-t0:.1f} s")
+    log(
+        f"matches={int(res.num_matches)} inliers={int(res.num_inliers)} "
+        f"valid_points={int(res.point_valid.sum())} "
+        f"reproj_px={math.sqrt(float(res.reproj_err)/2)*2360.0:.3f}"
+    )
+
+    times = []
+    for _ in range(10):
+        t0 = time.time()
+        res = run()
+        jax.block_until_ready(res)
+        times.append(time.time() - t0)
+    ms = float(np.median(times) * 1000.0)
+    log(f"per-run times (ms): {[round(t*1000,1) for t in times]}")
+
+    baseline_ms = 47.0
+    print(
+        json.dumps(
+            {
+                "metric": "dino_pair_e2e_ms",
+                "value": round(ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(baseline_ms / ms, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Configuration surface for the framework.
+
+The reference hard-codes every knob (survey §5 lists the full set:
+src/main.cpp:243-307, CudaSift/cudaSiftD.h:8-42, SfM/sfm.cu:95,220,50-52);
+here they are explicit dataclasses, hashable so they can be passed as
+static args to jitted pipelines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftConfig:
+    """SIFT frontend (reference defaults: src/main.cpp:269-277)."""
+
+    num_octaves: int = 5
+    num_scales: int = 5          # NUM_SCALES (cudaSiftD.h:8)
+    init_blur: float = 1.5       # prefilter sigma (src/main.cpp:269)
+    thresh: float = 1.0          # DoG threshold, 0..255 intensity scale
+    edge_limit: float = 10.0     # tr^2 < limit*det (cudaSiftH.cu:213)
+    lowest_scale: float = 0.0    # min accepted blob scale
+    up_scale: bool = False       # 2x upscale path (cudaSiftH.cu:119-133)
+    max_pts_per_octave: int = 1024   # capacity replacing atomic append
+    orientation_duplicates: bool = True  # 2nd-peak duplication (cudaSiftD.cu:1041)
+    laplace_radius: int = 4      # LAPLACE_R (cudaSiftD.h:40)
+    lowpass_radius: int = 4      # LOWPASS_R (cudaSiftD.h:44)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Brute-force matcher (reference CudaSift/matching.cu:1090-1206)."""
+
+    max_ambiguity: float = 0.95  # ratio-test cutoff (ImproveHomography uses 0.95)
+    min_score: float = 0.0       # min correlation of best match
+    mutual: bool = False         # cross-check (not in reference)
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Essential-matrix RANSAC (reference SfM/sfm.cu:94-236)."""
+
+    n_hyps: int = 4096           # reference: floor(N/8) (sfm.cu:95)
+    threshold: float = 1e-6      # symmetric epipolar dist^2, normalized coords
+    chunk: int = 512
+    refit_iters: int = 2
+    sweeps: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    sift: SiftConfig = SiftConfig()
+    match: MatchConfig = MatchConfig()
+    ransac: RansacConfig = RansacConfig()
+    refine_iters: int = 10       # on-manifold pose refinement (beyond reference)

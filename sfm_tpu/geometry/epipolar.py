@@ -68,7 +68,10 @@ def normalizing_transform(x, mask=None):
     c = jnp.sum(xy * w[..., None], axis=-2) / wsum
     d = jnp.sqrt(jnp.sum((xy - c[..., None, :]) ** 2, axis=-1))
     mean_d = jnp.sum(d * w, axis=-1) / wsum[..., 0]
-    s = jnp.sqrt(2.0) / jnp.maximum(mean_d, 1e-12)
+    # Floor keeps the scale bounded for degenerate (coincident-point)
+    # inputs, where an unbounded scale overflows f32 in the Gram/QR
+    # solves downstream.
+    s = jnp.sqrt(2.0) / jnp.maximum(mean_d, 1e-3)
     zero = jnp.zeros_like(s)
     one = jnp.ones_like(s)
     T = jnp.stack(

@@ -53,9 +53,11 @@ def triangulate(x1, x2, P1, P2, *, sweeps: int = 10, w_clamp: float = 5.0):
     w = X_h[..., 3]
     denom = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
     X = X_h[..., :3] / denom[..., None]
-    finite = jnp.abs(1.0 / denom) <= w_clamp * jnp.linalg.norm(
-        X_h[..., :3], axis=-1
-    ) + w_clamp
+    # The reference zeroes points with w == 0 or |w| > 5
+    # (SfM/kernels.h:439-441); with a unit-norm homogeneous vector only
+    # the w ~ 0 (point at infinity) case can occur.  `w_clamp` bounds
+    # the admissible depth ratio ||xyz|| / |w| in baseline units.
+    finite = jnp.abs(w) * w_clamp > jnp.linalg.norm(X_h[..., :3], axis=-1) * 1e-6
     return X, w, finite
 
 

@@ -1,0 +1,84 @@
+"""Image loading (PPM/PGM native, PIL fallback) and point-cloud export.
+
+Replaces the reference's OpenCV image ingest (reference
+src/main.cpp:251-257 loads PPMs as CV_32FC1 grayscale, values 0..255)
+and its OpenGL viewer output (src/main.cpp:318-352) with headless PLY
+export.  A native C++ loader (see native/) accelerates batch ingest;
+this module is the always-available pure-Python path.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+import numpy as np
+
+_MAXVAL_RE = re.compile(rb"^\s*(\d+)\s+(\d+)\s+(\d+)\s", re.S)
+
+
+def _read_pnm_header(data: bytes):
+    # Strip comments
+    body = re.sub(rb"#[^\n]*\n", b" ", data[2:])
+    m = _MAXVAL_RE.match(body)
+    if not m:
+        raise ValueError("bad PNM header")
+    w, h, maxval = (int(g) for g in m.groups())
+    offset = len(data) - len(body) + m.end()
+    return w, h, maxval, offset
+
+
+def load_gray(path) -> np.ndarray:
+    """Load an image as [H, W] float32 grayscale, 0..255 scale.
+
+    Grayscale conversion for color inputs matches OpenCV's BGR->GRAY
+    weights (0.299 R + 0.587 G + 0.114 B) used implicitly by the
+    reference's IMREAD_GRAYSCALE (src/main.cpp:251-252).
+    """
+    path = pathlib.Path(path)
+    data = path.read_bytes()
+    magic = data[:2]
+    if magic in (b"P5", b"P6"):
+        w, h, maxval, off = _read_pnm_header(data)
+        dtype = np.uint8 if maxval < 256 else ">u2"
+        ch = 3 if magic == b"P6" else 1
+        img = np.frombuffer(data, dtype=dtype, count=w * h * ch, offset=off)
+        img = img.reshape(h, w, ch).astype(np.float32)
+        if maxval != 255:
+            img = img * (255.0 / maxval)
+        if ch == 3:
+            img = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+        else:
+            img = img[..., 0]
+        return img
+    # Fallback: PIL for PNG/JPG/etc.
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("F"), dtype=np.float32)
+
+
+def save_ply(path, points, colors=None, valid=None):
+    """Write an ASCII PLY point cloud (replaces the GL viewer output)."""
+    points = np.asarray(points)
+    if valid is not None:
+        mask = np.asarray(valid).astype(bool)
+        points = points[mask]
+        if colors is not None:
+            colors = np.asarray(colors)[mask]
+    n = points.shape[0]
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write(
+                "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            )
+        f.write("end_header\n")
+        for i in range(n):
+            line = f"{points[i,0]:.6f} {points[i,1]:.6f} {points[i,2]:.6f}"
+            if colors is not None:
+                c = colors[i].astype(int)
+                line += f" {c[0]} {c[1]} {c[2]}"
+            f.write(line + "\n")

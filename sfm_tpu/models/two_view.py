@@ -1,0 +1,120 @@
+"""Two-view Structure-from-Motion pipeline (the reference's flagship).
+
+TPU-native equivalent of the reference's end-to-end flow
+(reference src/main.cpp:240-307): SIFT -> match -> normalize ->
+RANSAC E -> pose candidates + cheirality -> triangulation — plus the
+on-manifold pose refinement the reference lacks.  The geometry stage
+runs as ONE jitted program with zero host round trips (the reference
+crosses the device boundary at the RANSAC shuffle, best-E selection,
+3x3 SVD, and four cheirality readbacks — survey §1 data-flow notes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.config import PipelineConfig
+from sfm_tpu.geometry import camera, ransac, pose, refine, triangulate as tri
+from sfm_tpu.sift import frontend, match as match_mod
+
+
+class TwoViewResult(NamedTuple):
+    R: jax.Array            # [3,3] second-camera rotation
+    t: jax.Array            # [3] unit translation
+    E: jax.Array            # [3,3] refined essential matrix
+    points: jax.Array       # [N,3] triangulated points (camera-1 frame)
+    point_valid: jax.Array  # [N] bool (inlier & cheirality & finite)
+    uv1: jax.Array          # [N,2] pixel coords image 1
+    uv2: jax.Array          # [N,2] pixel coords image 2
+    inliers: jax.Array      # [N] RANSAC inlier mask
+    num_inliers: jax.Array
+    num_matches: jax.Array
+    reproj_err: jax.Array   # mean squared reprojection error (normalized)
+
+
+def gather_correspondences(kp1, desc1, kp2, desc2, matches):
+    """Dense [N,2] pixel correspondence arrays from a match result.
+
+    Equivalent of the reference's copy_point gather
+    (SfM/kernels.h:261-279) — here N is the fixed keypoint capacity and
+    invalid rows are masked, not compacted.
+    """
+    uv1 = jnp.stack([kp1.x, kp1.y], axis=-1)
+    uv2 = jnp.stack([kp2.x[matches.index], kp2.y[matches.index]], axis=-1)
+    mask = matches.valid & kp1.valid & kp2.valid[matches.index]
+    return uv1, uv2, mask
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConfig()):
+    """RANSAC + pose + refine + triangulate from pixel correspondences.
+
+    One fused XLA program: the TPU equivalent of the reference's
+    fillXU/estimateE/computePosecandidates/choosePose/
+    linear_triangulation call chain (src/main.cpp:299-307).
+    """
+    K_inv = camera.inv_intrinsics(K)
+    x1 = camera.normalize_points(uv1, K_inv)
+    x2 = camera.normalize_points(uv2, K_inv)
+
+    rc = cfg.ransac
+    res = ransac.ransac_essential(
+        key, x1, x2, mask,
+        n_hyps=rc.n_hyps, threshold=rc.threshold, chunk=rc.chunk,
+        sweeps=rc.sweeps, refit_iters=rc.refit_iters,
+    )
+    p = pose.recover_pose(res.E, x1, x2, weights=res.inliers.astype(x1.dtype))
+    ref = refine.refine_relative_pose(
+        p["R"], p["t"], x1, x2, weights=res.inliers, iters=cfg.refine_iters,
+    )
+    P1 = tri.make_projection(jnp.eye(3, dtype=x1.dtype), jnp.zeros(3, x1.dtype))
+    P2 = tri.make_projection(ref.R, ref.t)
+    X, w, finite = tri.triangulate(x1, x2, P1, P2)
+    z2 = tri.depths(X, ref.R, ref.t)
+    cheir = (X[..., 2] > 0) & (z2 > 0)
+    # Re-score inliers under the refined model.
+    from sfm_tpu.geometry import epipolar
+
+    r = epipolar.epipolar_residuals(
+        ref.E * (jnp.sqrt(2.0) / jnp.linalg.norm(ref.E)), x1, x2
+    )
+    inl = (r < rc.threshold) & mask
+    pt_valid = inl & cheir & finite
+    errs = tri.reprojection_errors(X, x1, x2, ref.R, ref.t)
+    denom = jnp.maximum(jnp.sum(pt_valid), 1)
+    mean_err = jnp.sum(jnp.where(pt_valid, errs, 0.0)) / denom
+    return TwoViewResult(
+        R=ref.R, t=ref.t, E=ref.E,
+        points=X, point_valid=pt_valid,
+        uv1=uv1, uv2=uv2,
+        inliers=inl,
+        num_inliers=jnp.sum(inl).astype(jnp.int32),
+        num_matches=jnp.sum(mask).astype(jnp.int32),
+        reproj_err=mean_err,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def two_view_pipeline(img1, img2, K, key, cfg: PipelineConfig = PipelineConfig()):
+    """Full pipeline from two [H, W] f32 images (0..255) as ONE jitted
+    XLA program — a single device dispatch end to end (the reference
+    launches ~40 kernels with host sequencing in between)."""
+    s1 = frontend.extract_sift(img1, cfg.sift)
+    s2 = frontend.extract_sift(img2, cfg.sift)
+    m = match_mod.match(
+        s1.descriptors, s2.descriptors, s1.keypoints.valid, s2.keypoints.valid,
+        cfg.match,
+    )
+    uv1, uv2, mask = gather_correspondences(
+        s1.keypoints, s1.descriptors, s2.keypoints, s2.descriptors, m
+    )
+    return two_view_geometry(key, uv1, uv2, mask, K, cfg)
+
+
+def run_two_view(img1, img2, K, cfg: PipelineConfig = PipelineConfig(), seed: int = 0):
+    """Convenience wrapper building the PRNG key from an int seed."""
+    return two_view_pipeline(img1, img2, K, jax.random.PRNGKey(seed), cfg)

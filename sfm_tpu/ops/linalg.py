@@ -155,13 +155,36 @@ def _orthonormal_u_from(E, V, s):
     right-handed frame via a cross product (robust when s_2 ~ 0, which is
     exactly the essential-matrix case).
     """
-    u0 = E @ V[..., :, 0:1]
-    u0 = u0[..., 0] / jnp.maximum(s[..., 0:1], 1e-20)
-    u0 = u0 / jnp.linalg.norm(u0, axis=-1, keepdims=True)
+    def _safe_unit(v, fallback):
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        ok = n > 1e-12
+        unit = v / jnp.where(ok, n, 1.0)
+        fb = jnp.broadcast_to(jnp.asarray(fallback, v.dtype), v.shape)
+        return jnp.where(ok, unit, fb)
+
+    u0 = (E @ V[..., :, 0:1])[..., 0] / jnp.maximum(s[..., 0:1], 1e-20)
+    # Degenerate (e.g. zero) inputs fall back to canonical axes so the
+    # result stays a finite orthonormal frame instead of NaN-poisoning
+    # downstream consumers.
+    u0 = _safe_unit(u0, [1.0, 0.0, 0.0])
     u1 = (E @ V[..., :, 1:2])[..., 0]
     # Re-orthogonalize against u0 before normalizing (f32 safety).
     u1 = u1 - jnp.sum(u1 * u0, axis=-1, keepdims=True) * u0
-    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1, axis=-1, keepdims=True), 1e-20)
+    n1 = jnp.linalg.norm(u1, axis=-1, keepdims=True)
+    ok1 = n1 > 1e-12
+    # Fallback: any unit vector perpendicular to u0 (two candidates so
+    # at least one is nonzero for every u0).
+    perp_a = jnp.stack(
+        [-u0[..., 1], u0[..., 0], jnp.zeros_like(u0[..., 0])], axis=-1
+    )
+    perp_b = jnp.stack(
+        [jnp.zeros_like(u0[..., 0]), -u0[..., 2], u0[..., 1]], axis=-1
+    )
+    na = jnp.linalg.norm(perp_a, axis=-1, keepdims=True)
+    perp = jnp.where(na > 0.5, perp_a / jnp.maximum(na, 1e-12),
+                     perp_b / jnp.maximum(
+                         jnp.linalg.norm(perp_b, axis=-1, keepdims=True), 1e-12))
+    u1 = jnp.where(ok1, u1 / jnp.where(ok1, n1, 1.0), perp)
     u2 = jnp.cross(u0, u1)
     return jnp.stack([u0, u1, u2], axis=-1), u2
 
