@@ -1,0 +1,260 @@
+"""Incremental multi-view SfM: two-view bootstrap + PnP registration +
+track propagation + triangulation of new points + global BA.
+
+NO reference counterpart — the reference is strictly two-view (survey
+§7 step 4; driver config 3 asks for the 10-image dino sequence).
+TPU-first structure: per-image registration is ONE jitted step over
+fixed-capacity map arrays (points, per-image point-id tables); the
+host merely sequences images, mirroring how the reference's host
+sequences kernel launches (src/main.cpp:240-307) but with all state
+device-resident.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_tpu.config import PipelineConfig
+from sfm_tpu.geometry import camera, pnp, ransac, pose as pose_mod, refine, triangulate as tri
+from sfm_tpu.models import bundle_adjust as ba
+from sfm_tpu.models.two_view import gather_correspondences
+from sfm_tpu.sift import frontend, match as match_mod
+
+
+class MapState(NamedTuple):
+    X: jax.Array          # [P_cap, 3] world points
+    X_valid: jax.Array    # [P_cap] bool
+    n_points: jax.Array   # [] int32
+    R: jax.Array          # [M, 3, 3] world->camera
+    t: jax.Array          # [M, 3]
+    pose_valid: jax.Array  # [M] bool
+    point_id: jax.Array   # [M, K] int32 (-1 = no 3D point)
+
+
+class IncrementalResult(NamedTuple):
+    state: MapState
+    uv: jax.Array         # [M, K, 2] keypoint pixel coords
+    kp_valid: jax.Array   # [M, K]
+    ba_costs: jax.Array
+    mean_reproj: jax.Array
+
+
+def _empty_state(n_images, kp_capacity, pt_capacity, dtype=jnp.float32):
+    return MapState(
+        X=jnp.zeros((pt_capacity, 3), dtype),
+        X_valid=jnp.zeros((pt_capacity,), bool),
+        n_points=jnp.asarray(0, jnp.int32),
+        R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n_images, 3, 3)),
+        t=jnp.zeros((n_images, 3), dtype),
+        pose_valid=jnp.zeros((n_images,), bool),
+        point_id=jnp.full((n_images, kp_capacity), -1, jnp.int32),
+    )
+
+
+def _append_points(state: MapState, X_new, new_mask):
+    """Scatter-append masked new points; returns (state, ids [K])."""
+    ranks = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    ids = jnp.where(new_mask, state.n_points + ranks, -1)
+    cap = state.X.shape[0]
+    slot = jnp.where(new_mask & (ids < cap), ids, cap)  # cap = dropped
+    X_pad = jnp.concatenate([state.X, jnp.zeros((1, 3), state.X.dtype)])
+    X_pad = X_pad.at[slot].set(jnp.where(new_mask[:, None], X_new, 0.0))
+    V_pad = jnp.concatenate([state.X_valid, jnp.zeros((1,), bool)])
+    V_pad = V_pad.at[slot].set(new_mask)
+    n_new = jnp.minimum(
+        state.n_points + jnp.sum(new_mask, dtype=jnp.int32), cap
+    )
+    ids = jnp.where(ids < cap, ids, -1)
+    return state._replace(
+        X=X_pad[:cap], X_valid=V_pad[:cap], n_points=n_new
+    ), ids
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _register_image(
+    state: MapState,
+    prev_idx,
+    cur_idx,
+    x_prev,    # [K, 3] normalized coords of prev image keypoints
+    x_cur,     # [K, 3] normalized coords of current image keypoints
+    match_idx,  # [K] prev-slot -> cur-slot
+    match_ok,   # [K]
+    key,
+    cfg: PipelineConfig,
+):
+    """PnP-register image cur_idx and extend the map.
+
+    One fused XLA step: 2D-3D PnP RANSAC + pose refine + new-point
+    triangulation + track bookkeeping.
+    """
+    K_slots = x_prev.shape[0]
+    pid_prev = state.point_id[prev_idx]          # [K]
+    has_pt = (pid_prev >= 0) & match_ok
+    pid_safe = jnp.maximum(pid_prev, 0)
+    X_corr = state.X[pid_safe]                   # [K, 3]
+    x_obs = x_cur[match_idx]                     # [K, 3] observed in cur
+    corr_mask = has_pt & state.X_valid[pid_safe]
+
+    rc = cfg.ransac
+    res = pnp.ransac_pnp(
+        key, x_obs, X_corr, corr_mask,
+        n_hyps=rc.n_hyps, threshold=rc.threshold * 4,
+    )
+    R_new, t_new = res.R, res.t
+    ok_pose = res.num_inliers >= 12
+
+    # Propagate track ids to current image (observations of existing pts).
+    inherit = corr_mask & res.inliers
+    point_id_cur = jnp.full((K_slots,), -1, jnp.int32).at[
+        jnp.where(inherit, match_idx, K_slots)
+    ].set(jnp.where(inherit, pid_prev, -1), mode="drop")
+
+    # Triangulate brand-new tracks: matched, prev slot has no point.
+    fresh = match_ok & (pid_prev < 0)
+    P_prev = tri.make_projection(state.R[prev_idx], state.t[prev_idx])
+    P_cur = tri.make_projection(R_new, t_new)
+    X_new, w_h, finite = tri.triangulate(x_prev, x_obs, P_prev, P_cur)
+    # Quality gates: reprojection in both views + positive depth.
+    z_prev = tri.depths(X_new, state.R[prev_idx], state.t[prev_idx])
+    z_cur = tri.depths(X_new, R_new, t_new)
+    e_prev = pnp.reprojection_residuals(state.R[prev_idx], state.t[prev_idx], x_prev, X_new)
+    e_cur = pnp.reprojection_residuals(R_new, t_new, x_obs, X_new)
+    good_new = (
+        fresh & finite & (z_prev > 0) & (z_cur > 0)
+        & (e_prev < rc.threshold * 4) & (e_cur < rc.threshold * 4)
+        & ok_pose
+    )
+    state, new_ids = _append_points(state, X_new, good_new)
+
+    # Record new ids in both images' tables.
+    point_id_prev = jnp.where(new_ids >= 0, new_ids, state.point_id[prev_idx])
+    point_id_cur = point_id_cur.at[
+        jnp.where(new_ids >= 0, match_idx, K_slots)
+    ].set(jnp.where(new_ids >= 0, new_ids, -1), mode="drop")
+
+    state = state._replace(
+        R=state.R.at[cur_idx].set(jnp.where(ok_pose, R_new, jnp.eye(3, dtype=R_new.dtype))),
+        t=state.t.at[cur_idx].set(jnp.where(ok_pose, t_new, 0.0)),
+        pose_valid=state.pose_valid.at[cur_idx].set(ok_pose),
+        point_id=state.point_id.at[prev_idx].set(point_id_prev)
+                                .at[cur_idx].set(point_id_cur),
+    )
+    return state, res.num_inliers
+
+
+def build_ba_problem(state: MapState, uv_all, kp_valid, K_inv):
+    """Flatten the point-id tables into a BAProblem (normalized uv)."""
+    M, Ks = state.point_id.shape
+    cam_idx = jnp.repeat(jnp.arange(M, dtype=jnp.int32), Ks)
+    pid = state.point_id.reshape(-1)
+    x = camera.normalize_points(uv_all.reshape(-1, 2), K_inv)
+    mask = (
+        (pid >= 0)
+        & kp_valid.reshape(-1)
+        & state.pose_valid[cam_idx]
+        & state.X_valid[jnp.maximum(pid, 0)]
+    )
+    fixed = ~state.pose_valid | (jnp.arange(M) == 0)
+    return ba.BAProblem(
+        cam_idx=cam_idx,
+        pt_idx=jnp.maximum(pid, 0),
+        uv=x[:, :2] / x[:, 2:3],
+        mask=mask,
+        fixed=fixed,
+    )
+
+
+def run_incremental(
+    images,
+    K,
+    cfg: PipelineConfig = PipelineConfig(),
+    *,
+    seed: int = 0,
+    pt_capacity: int | None = None,
+    ba_iters: int = 20,
+):
+    """Full incremental reconstruction over a list of [H, W] images."""
+    n_images = len(images)
+    K = jnp.asarray(K)
+    K_inv = camera.inv_intrinsics(K)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_images + 1)
+
+    feats = [frontend.extract_sift(jnp.asarray(im), cfg.sift) for im in images]
+    kp_cap = feats[0].keypoints.x.shape[0]
+    if pt_capacity is None:
+        pt_capacity = n_images * kp_cap // 4
+    uv_all = jnp.stack(
+        [jnp.stack([f.keypoints.x, f.keypoints.y], axis=-1) for f in feats]
+    )
+    kp_valid = jnp.stack([f.keypoints.valid for f in feats])
+    x_norm = [
+        camera.normalize_points(uv_all[i], K_inv) for i in range(n_images)
+    ]
+
+    state = _empty_state(n_images, kp_cap, pt_capacity)
+
+    # --- bootstrap from images (0, 1): essential + pose + triangulate ---
+    m01 = match_mod.match(
+        feats[0].descriptors, feats[1].descriptors,
+        feats[0].keypoints.valid, feats[1].keypoints.valid, cfg.match,
+    )
+    mask01 = m01.valid & kp_valid[0] & kp_valid[1][m01.index]
+    x1b = x_norm[0]
+    x2b = x_norm[1][m01.index]
+    rr = ransac.ransac_essential(
+        keys[0], x1b, x2b, mask01,
+        n_hyps=cfg.ransac.n_hyps, threshold=cfg.ransac.threshold,
+        chunk=cfg.ransac.chunk, refit_iters=cfg.ransac.refit_iters,
+    )
+    p = pose_mod.recover_pose(rr.E, x1b, x2b, weights=rr.inliers.astype(jnp.float32))
+    ref = refine.refine_relative_pose(
+        p["R"], p["t"], x1b, x2b, weights=rr.inliers, iters=cfg.refine_iters
+    )
+    P1 = tri.make_projection(jnp.eye(3), jnp.zeros(3))
+    P2 = tri.make_projection(ref.R, ref.t)
+    X01, _, finite01 = tri.triangulate(x1b, x2b, P1, P2)
+    z1 = X01[..., 2]
+    z2 = tri.depths(X01, ref.R, ref.t)
+    good01 = rr.inliers & finite01 & (z1 > 0) & (z2 > 0)
+    state, ids01 = _append_points(state, X01, good01)
+    pid0 = jnp.where(ids01 >= 0, ids01, -1)
+    pid1 = jnp.full((kp_cap,), -1, jnp.int32).at[
+        jnp.where(ids01 >= 0, m01.index, kp_cap)
+    ].set(jnp.where(ids01 >= 0, ids01, -1), mode="drop")
+    state = state._replace(
+        R=state.R.at[1].set(ref.R),
+        t=state.t.at[1].set(ref.t),
+        pose_valid=state.pose_valid.at[0].set(True).at[1].set(True),
+        point_id=state.point_id.at[0].set(pid0).at[1].set(pid1),
+    )
+
+    # --- incremental registration ---
+    for i in range(2, n_images):
+        m = match_mod.match(
+            feats[i - 1].descriptors, feats[i].descriptors,
+            feats[i - 1].keypoints.valid, feats[i].keypoints.valid, cfg.match,
+        )
+        ok = m.valid & kp_valid[i - 1] & kp_valid[i][m.index]
+        state, n_inl = _register_image(
+            state, i - 1, i, x_norm[i - 1], x_norm[i], m.index, ok,
+            keys[i], cfg,
+        )
+
+    # --- global bundle adjustment ---
+    problem = build_ba_problem(state, uv_all, kp_valid, K_inv)
+    final, costs = ba.run_ba(
+        state.R, state.t, state.X, problem, iters=ba_iters
+    )
+    state = state._replace(R=final.R, t=final.t, X=final.X)
+    r = ba._residuals(final.R, final.t, final.X, problem)
+    denom = jnp.maximum(jnp.sum(problem.mask), 1)
+    mean_reproj = jnp.sum(jnp.where(problem.mask, jnp.sum(r * r, -1), 0.0)) / denom
+    return IncrementalResult(
+        state=state, uv=uv_all, kp_valid=kp_valid,
+        ba_costs=costs, mean_reproj=mean_reproj,
+    )

@@ -99,19 +99,29 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def two_view_pipeline(img1, img2, K, key, cfg: PipelineConfig = PipelineConfig()):
-    """Full pipeline from two [H, W] f32 images (0..255) as ONE jitted
-    XLA program — a single device dispatch end to end (the reference
-    launches ~40 kernels with host sequencing in between)."""
+def frontend_stage(img1, img2, cfg: PipelineConfig = PipelineConfig()):
+    """SIFT x2 + match + correspondence gather as one XLA program."""
     s1 = frontend.extract_sift(img1, cfg.sift)
     s2 = frontend.extract_sift(img2, cfg.sift)
     m = match_mod.match(
         s1.descriptors, s2.descriptors, s1.keypoints.valid, s2.keypoints.valid,
         cfg.match,
     )
-    uv1, uv2, mask = gather_correspondences(
+    return gather_correspondences(
         s1.keypoints, s1.descriptors, s2.keypoints, s2.descriptors, m
     )
+
+
+def two_view_pipeline(img1, img2, K, key, cfg: PipelineConfig = PipelineConfig()):
+    """Full pipeline from two [H, W] f32 images (0..255).
+
+    Two jitted dispatches (frontend stage, geometry stage) with no
+    eager glue.  Kept as two programs deliberately: fusing everything
+    into one XLA program triggers a pathological schedule on TPU
+    (~30x slower than the sum of the parts — measured r1), while the
+    two-dispatch structure matches the parts' speed.
+    """
+    uv1, uv2, mask = frontend_stage(img1, img2, cfg)
     return two_view_geometry(key, uv1, uv2, mask, K, cfg)
 
 
