@@ -1,0 +1,172 @@
+"""Command-line driver — the replacement for the reference's app layer
+(reference src/main.cpp:240-359: argv device/imgSet selection,
+hard-coded paths and K, GL window).  Headless: reconstruct from image
+files, export PLY + JSON metrics, optional checkpoint.
+
+Usage:
+  python -m sfm_tpu reconstruct IMG1 IMG2 [IMG...] \
+      --focal 2360 [--cx CX --cy CY] --out cloud.ply \
+      [--metrics metrics.json] [--checkpoint map.npz] [--ba-iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+
+
+def _build_K(args, w, h):
+    import numpy as np
+
+    cx = args.cx if args.cx is not None else w / 2.0
+    cy = args.cy if args.cy is not None else h / 2.0
+    return np.array(
+        [[args.focal, 0, cx], [0, args.focal, cy], [0, 0, 1]], np.float32
+    )
+
+
+def _load_images(paths):
+    from sfm_tpu.io import image_io, native
+
+    if native.available() and all(
+        str(p).lower().endswith((".ppm", ".pgm")) for p in paths
+    ):
+        batch = native.load_gray_batch(paths)
+        return [batch[i] for i in range(batch.shape[0])]
+    return [image_io.load_gray(p) for p in paths]
+
+
+def cmd_reconstruct(args):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sfm_tpu.config import PipelineConfig, SiftConfig, RansacConfig
+    from sfm_tpu.utils.timing import StageTimer, sync
+
+    timer = StageTimer()
+    t_start = time.perf_counter()
+    imgs = _load_images(args.images)
+    h, w = imgs[0].shape
+    K = _build_K(args, w, h)
+    cfg = PipelineConfig(
+        sift=SiftConfig(
+            max_pts_per_octave=args.max_pts, thresh=args.thresh,
+            num_octaves=args.octaves,
+        ),
+        ransac=RansacConfig(n_hyps=args.ransac_hyps, threshold=args.ransac_thresh),
+    )
+    timer.record("load_images", time.perf_counter() - t_start)
+
+    if len(imgs) == 2:
+        from sfm_tpu.models import two_view
+
+        t0 = time.perf_counter()
+        res = two_view.run_two_view(
+            jnp.asarray(imgs[0]), jnp.asarray(imgs[1]), jnp.asarray(K),
+            cfg, seed=args.seed,
+        )
+        sync(res)
+        timer.record("pipeline", time.perf_counter() - t0)
+        points = np.array(res.points)
+        valid = np.array(res.point_valid)
+        err_px = math.sqrt(float(res.reproj_err) / 2) * float(args.focal)
+        metrics = {
+            "mode": "two_view",
+            "num_matches": int(res.num_matches),
+            "num_inliers": int(res.num_inliers),
+            "num_points": int(valid.sum()),
+            "mean_reproj_px": round(err_px, 4),
+        }
+        state = None
+    else:
+        from sfm_tpu.models import incremental
+
+        t0 = time.perf_counter()
+        res = incremental.run_incremental(
+            imgs, K, cfg, seed=args.seed, ba_iters=args.ba_iters
+        )
+        sync(res)
+        timer.record("pipeline", time.perf_counter() - t0)
+        state = res.state
+        points = np.array(state.X)
+        valid = np.array(state.X_valid)
+        err_px = math.sqrt(float(res.mean_reproj) / 2) * float(args.focal)
+        costs = np.array(res.ba_costs)
+        metrics = {
+            "mode": "incremental",
+            "num_images": len(imgs),
+            "poses_registered": int(np.array(state.pose_valid).sum()),
+            "num_points": int(valid.sum()),
+            "mean_reproj_px": round(err_px, 4),
+            "ba_cost_initial": float(costs[0]),
+            "ba_cost_final": float(costs[-1]),
+        }
+
+    if args.out:
+        t0 = time.perf_counter()
+        from sfm_tpu.io import native
+
+        if native.available():
+            native.save_ply(args.out, points, valid=valid.astype(np.uint8))
+        else:
+            from sfm_tpu.io.image_io import save_ply
+
+            save_ply(args.out, points, valid=valid)
+        timer.record("export", time.perf_counter() - t0)
+        metrics["ply"] = args.out
+
+    if args.checkpoint and state is not None:
+        from sfm_tpu.utils.checkpoint import save_map
+
+        save_map(args.checkpoint, state, extra={"K": K.tolist()})
+        metrics["checkpoint"] = args.checkpoint
+
+    metrics["stage_times"] = timer.summary()
+    out = json.dumps(metrics, indent=2)
+    print(out)
+    if args.metrics:
+        with open(args.metrics, "w") as f:
+            f.write(out)
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="sfm_tpu", description=__doc__)
+    p.add_argument(
+        "--platform", choices=("auto", "cpu", "tpu"), default="auto",
+        help="force the JAX backend (the sandbox's TPU plugin overrides "
+             "JAX_PLATFORMS, so this sets jax.config directly)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("reconstruct", help="reconstruct from 2+ images")
+    r.add_argument("images", nargs="+", help="input images (2 = two-view, 3+ = incremental)")
+    r.add_argument("--focal", type=float, default=2360.0,
+                   help="focal length in px (reference dino default 2360, src/main.cpp:292)")
+    r.add_argument("--cx", type=float, default=None)
+    r.add_argument("--cy", type=float, default=None)
+    r.add_argument("--out", default=None, help="output PLY path")
+    r.add_argument("--metrics", default=None, help="write metrics JSON here")
+    r.add_argument("--checkpoint", default=None, help="save map checkpoint (npz)")
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--octaves", type=int, default=5)
+    r.add_argument("--thresh", type=float, default=1.0)
+    r.add_argument("--max-pts", type=int, default=1024)
+    r.add_argument("--ransac-hyps", type=int, default=1024)
+    r.add_argument("--ransac-thresh", type=float, default=3e-6)
+    r.add_argument("--ba-iters", type=int, default=20)
+    r.set_defaults(fn=cmd_reconstruct)
+
+    args = p.parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

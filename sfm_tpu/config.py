@@ -26,6 +26,7 @@ class SiftConfig:
     orientation_duplicates: bool = True  # 2nd-peak duplication (cudaSiftD.cu:1041)
     laplace_radius: int = 4      # LAPLACE_R (cudaSiftD.h:40)
     lowpass_radius: int = 4      # LOWPASS_R (cudaSiftD.h:44)
+    use_pallas: bool | None = None  # None = auto (Pallas kernels on TPU)
 
 
 @dataclasses.dataclass(frozen=True)

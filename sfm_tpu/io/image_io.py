@@ -10,22 +10,33 @@ this module is the always-available pure-Python path.
 from __future__ import annotations
 
 import pathlib
-import re
 
 import numpy as np
 
-_MAXVAL_RE = re.compile(rb"^\s*(\d+)\s+(\d+)\s+(\d+)\s", re.S)
-
-
 def _read_pnm_header(data: bytes):
-    # Strip comments
-    body = re.sub(rb"#[^\n]*\n", b" ", data[2:])
-    m = _MAXVAL_RE.match(body)
-    if not m:
-        raise ValueError("bad PNM header")
-    w, h, maxval = (int(g) for g in m.groups())
-    offset = len(data) - len(body) + m.end()
-    return w, h, maxval, offset
+    """Tokenize the PNM header (comment- and whitespace-robust);
+    returns (w, h, maxval, pixel_data_offset)."""
+    pos = 2
+    vals = []
+    n = len(data)
+    while len(vals) < 3:
+        # skip whitespace and comments
+        while pos < n:
+            c = data[pos]
+            if c == 0x23:  # '#'
+                while pos < n and data[pos] != 0x0A:
+                    pos += 1
+            elif c in (0x20, 0x09, 0x0D, 0x0A):
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < n and 0x30 <= data[pos] <= 0x39:
+            pos += 1
+        if pos == start:
+            raise ValueError("bad PNM header")
+        vals.append(int(data[start:pos]))
+    return vals[0], vals[1], vals[2], pos + 1  # single ws after maxval
 
 
 def load_gray(path) -> np.ndarray:

@@ -1,0 +1,321 @@
+"""Pallas TPU kernels for per-keypoint oriented sampling.
+
+The reference's orientation/descriptor kernels are texture-unit
+gather machines (reference CudaSift/cudaSiftD.cu:972-1057, 308-417).
+TPUs have no gather hardware — XLA lowers per-sample indexing to
+scalar gathers at ~9 ns/element (measured: 42M gathers ≈ 1.1 s for a
+dino pair).  These kernels recast sampling as MXU/VPU work:
+
+  * the octave image lives as a single VMEM block (<= 1.7 MB);
+  * each program handles a block of keypoints; per keypoint an
+    8-aligned row slab is sliced and columns are cropped with a
+    one-hot matmul (Mosaic forbids lane-dim dynamic slices);
+  * ALL sample positions are evaluated in one `[S, rows] @ [rows, P]`
+    matmul whose sampling matrix rows are tent functions
+    max(0, 1 - |pos - index|) — bilinear interpolation as dense
+    linear algebra;
+  * gradients use the reference's exact rotated central differences
+    (4 sample groups batched into the same matmul);
+  * histogram / descriptor binning are one-hot broadcasts + column
+    sums (layout chosen so no transposes or 1-D reshapes are needed —
+    Mosaic supports neither well).
+
+Cost per keypoint ~ 3 MFLOP of small matmuls — hundreds of times
+cheaper than the gather path on this hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Patch sizes (static): descriptor reach = 7.5*0.75*scale*sqrt(2) + 2
+# with scale clamped <= 2 by the detector -> r <= 18; orientation
+# reach = 5 + 1 + 1 = 7.
+DESC_P = 40
+ORI_P = 16
+_GAUSS16 = np.exp(-((np.arange(16) - 7.5) ** 2) / 128.0).astype(np.float32)
+
+
+def _spatial_weight_matrix() -> np.ndarray:
+    """[16, 4] per-axis bilinear cell weights (see
+    sift.describe._spatial_weight_matrix; kept in sync)."""
+    W1 = np.zeros((16, 4), np.float32)
+    for i in range(16):
+        ci = (i + 2) // 4 - 1
+        f = (i - 1.5) / 4.0 - ci
+        if i >= 2 and 0 <= ci <= 3:
+            W1[i, ci] = 1.0 - f
+        if i <= 13 and 0 <= ci + 1 <= 3:
+            W1[i, ci + 1] = f
+    return W1
+
+
+def _wsp128() -> np.ndarray:
+    """[256, 128] combined spatial weights: sample s = j*16+i (j = row,
+    i = col), output q = (cy*4 + cx)*8 + a; value = W1[j,cy]*W1[i,cx]
+    (independent of the angle bin a — that factor is elementwise)."""
+    W1 = _spatial_weight_matrix()
+    W = np.zeros((256, 128), np.float32)
+    for j in range(16):
+        for i in range(16):
+            s = j * 16 + i
+            for cy in range(4):
+                for cx in range(4):
+                    w = W1[j, cy] * W1[i, cx]
+                    if w:
+                        q0 = (cy * 4 + cx) * 8
+                        W[s, q0 : q0 + 8] = w
+    return W
+
+
+_W_SPATIAL_128 = _wsp128()
+_W2D_COL = (
+    (_GAUSS16[:, None] * _GAUSS16[None, :]).reshape(256, 1).astype(np.float32)
+)
+
+
+def _atan2(y, x):
+    """Branchless polynomial atan2 (Mosaic has no atan2 lowering).
+
+    Minimax polynomial on t in [0, 1] (|err| < 1e-6 rad), octant
+    reduction via min/max — same spirit as the reference's FastAtan2
+    (CudaSift/matching.cu).  atan2(0, 0) returns 0.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, 1e-30)
+    s = t * t
+    p = -0.0117212
+    p = p * s + 0.05265332
+    p = p * s + -0.11643287
+    p = p * s + 0.19354346
+    p = p * s + -0.33262348
+    p = p * s + 0.99997726
+    r = t * p
+    r = jnp.where(ay > ax, np.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, np.float32(np.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _pad_for_kernel(img, P):
+    """Pad to H multiple of 8 and >= P+8, W >= P (edge replicate), so
+    the kernel's aligned row slices are always in bounds."""
+    H, W = img.shape
+    Hp = max(-(-H // 8) * 8, P + 8)
+    Wp = max(W, P)
+    if Hp != H or Wp != W:
+        img = jnp.pad(img, ((0, Hp - H), (0, Wp - W)), mode="edge")
+    return img
+
+
+def _load_patch(img_ref, x0, y0, P):
+    """Load a [P + 8, P] patch with Mosaic-friendly addressing.
+
+    Dynamic slices on the sublane (row) dim must be 8-aligned and the
+    lane (column) dim cannot be dynamically sliced, so we slice
+    8-aligned rows across the FULL width and crop columns with a
+    one-hot matmul (an MXU op, not a gather).  Returns (patch, dy)
+    where dy in [0, 8] is the row offset of the requested origin
+    inside the patch.
+    """
+    H, W = img_ref.shape
+    rows_n = P + 8
+    y0a = jnp.minimum((y0 // 8) * 8, H - rows_n)
+    y0a = jnp.maximum(y0a, 0)
+    y0a = pl.multiple_of(y0a, 8)
+    rows = img_ref[pl.ds(y0a, rows_n), :]          # [P+8, W]
+    colpos = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0)
+    sel = jax.lax.broadcasted_iota(jnp.int32, (W, P), 1) + x0
+    OH = jnp.where(colpos == sel, 1.0, 0.0)
+    patch = jnp.dot(rows, OH, preferred_element_type=jnp.float32)  # [P+8, P]
+    return patch, (y0 - y0a).astype(jnp.float32)
+
+
+def _sample_matmul(patch, px, py, P):
+    """Bilinear-sample `patch` [P + 8, P] at S positions -> [S, 1].
+
+    px, py: [S, 1] f32 coords in patch space (row = py, col = px),
+    clamped to valid range (replicate-border semantics).
+    """
+    S = px.shape[0]
+    rows_n = P + 8
+    px = jnp.clip(px, 0.0, P - 1.0)
+    py = jnp.clip(py, 0.0, rows_n - 1.0)
+    idx_r = jax.lax.broadcasted_iota(jnp.int32, (S, rows_n), 1).astype(jnp.float32)
+    idx_c = jax.lax.broadcasted_iota(jnp.int32, (S, P), 1).astype(jnp.float32)
+    A = jnp.maximum(0.0, 1.0 - jnp.abs(py - idx_r))  # [S, rows_n]
+    B = jnp.maximum(0.0, 1.0 - jnp.abs(px - idx_c))  # [S, P]
+    tmp = jnp.dot(A, patch, preferred_element_type=jnp.float32)  # [S, P]
+    return jnp.sum(tmp * B, axis=1, keepdims=True)   # [S, 1]
+
+
+def _descriptor_one(img_ref, w2d_ref, wsp_ref, x0, y0, fx, fy, cosa, sina, scale):
+    """One unnormalized [1, 128] descriptor row.
+
+    (x0, y0): patch origin (ints); (fx, fy): keypoint position in
+    patch coords.  Mirrors cudaSiftD.cu:308-417 semantics.
+    """
+    P = DESC_P
+    patch, dy_off = _load_patch(img_ref, x0, y0, P)
+    fy = fy + dy_off
+    sc = (12.0 / 16.0) * scale
+    # Sample index decomposition, all in [1024, 1] column layout:
+    # s = grp*256 + j*16 + i  (grp: 4 finite-difference groups).
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (1024, 1), 0)
+    i_f = (s_idx % 16).astype(jnp.float32) - 7.5
+    j_f = ((s_idx // 16) % 16).astype(jnp.float32) - 7.5
+    grp = s_idx // 256
+    bx = fx + sc * (i_f * cosa - j_f * sina)
+    by = fy + sc * (i_f * sina + j_f * cosa)
+    # groups: +u, -u, +v, -v with u = (cosa, sina), v = (-sina, cosa)
+    gx = jnp.where(grp == 0, cosa, jnp.where(grp == 1, -cosa,
+                   jnp.where(grp == 2, -sina, sina)))
+    gy = jnp.where(grp == 0, sina, jnp.where(grp == 1, -sina,
+                   jnp.where(grp == 2, cosa, -cosa)))
+    vals = _sample_matmul(patch, bx + gx, by + gy, P)  # [1024, 1]
+    dx = vals[0:256] - vals[256:512]    # [256, 1]
+    dy = vals[512:768] - vals[768:1024]
+    grad = w2d_ref[:, :] * jnp.sqrt(dx * dx + dy * dy)  # [256, 1]
+    ang = 4.0 / np.pi * _atan2(dy, dx) + 4.0
+    angi = jnp.clip(jnp.floor(ang), 0.0, 7.0)
+    angf = ang - angi
+    angi2 = jnp.where(angi + 1.0 > 7.0, 0.0, angi + 1.0)
+    qmod8 = (
+        jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1) % 8
+    ).astype(jnp.float32)
+    angw = jnp.where(qmod8 == angi, 1.0 - angf, 0.0) + jnp.where(
+        qmod8 == angi2, angf, 0.0
+    )  # [256, 128]
+    contrib = wsp_ref[:, :] * angw * grad  # [256, 128]
+    return jnp.sum(contrib, axis=0, keepdims=True)  # [1, 128]
+
+
+def _make_descriptor_kernel(block_k: int):
+    def kernel(x0_ref, y0_ref, fx_ref, fy_ref, ca_ref, sa_ref, sc_ref,
+               img_ref, w2d_ref, wsp_ref, out_ref):
+        kb = pl.program_id(0)
+        for k in range(block_k):
+            i = kb * block_k + k
+            d = _descriptor_one(
+                img_ref, w2d_ref, wsp_ref, x0_ref[i], y0_ref[i],
+                fx_ref[i], fy_ref[i], ca_ref[i], sa_ref[i], sc_ref[i],
+            )
+            out_ref[k, :] = d[0, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def descriptor_sample(img, x, y, scale, orientation_deg, *,
+                      block_k: int = 8, interpret: bool = False):
+    """[K, 128] raw (unnormalized) descriptors via the Pallas kernel.
+
+    img: [H, W] f32 octave base; x/y/scale in octave coords;
+    orientation in degrees.  K must be a multiple of block_k.
+    """
+    K = x.shape[0]
+    H, W = img.shape
+    P = DESC_P
+    img = _pad_for_kernel(img, P)
+    theta = orientation_deg * (2.0 * np.pi / 360.0)
+    cosa = jnp.cos(theta)
+    sina = jnp.sin(theta)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32) - P // 2 + 1, 0, max(W - P, 0))
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32) - P // 2 + 1, 0, max(H - P, 0))
+    fx = x - x0.astype(jnp.float32)
+    fy = y - y0.astype(jnp.float32)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_descriptor_kernel(block_k),
+        out_shape=jax.ShapeDtypeStruct((K, 128), jnp.float32),
+        grid=(K // block_k,),
+        in_specs=[smem] * 7 + [vmem] * 3,
+        out_specs=pl.BlockSpec(
+            (block_k, 128), lambda kb: (kb, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(x0, y0, fx, fy, cosa, sina, scale, img,
+      jnp.asarray(_W2D_COL), jnp.asarray(_W_SPATIAL_128))
+    return out
+
+
+def _orientation_one(img_ref, x0, y0, fx, fy, inv2s2):
+    """One [1, 32] orientation histogram (cudaSiftD.cu:972-1010)."""
+    P = ORI_P
+    patch, dy_off = _load_patch(img_ref, x0, y0, P)
+    fy = fy + dy_off
+    # s = grp*121 + yd*11 + xd in [484, 1] column layout.
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (484, 1), 0)
+    xd = ((s_idx % 121) % 11).astype(jnp.float32) - 5.0
+    yd = ((s_idx % 121) // 11).astype(jnp.float32) - 5.0
+    grp = s_idx // 121
+    gx = jnp.where(grp == 0, 1.0, jnp.where(grp == 1, -1.0, 0.0))
+    gy = jnp.where(grp == 2, 1.0, jnp.where(grp == 3, -1.0, 0.0))
+    vals = _sample_matmul(patch, fx + xd + gx, fy + yd + gy, P)  # [484, 1]
+    dx = vals[0:121] - vals[121:242]
+    dy = vals[242:363] - vals[363:484]
+    grad = jnp.sqrt(dx * dx + dy * dy)
+    xd0 = xd[0:121]
+    yd0 = yd[0:121]
+    w = jnp.exp(inv2s2 * (xd0 * xd0 + yd0 * yd0))
+    bins = jnp.floor(16.0 / np.pi * _atan2(dy, dx) + 16.5)
+    bins = jnp.where(bins > 31.0, 0.0, bins)
+    oh = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (121, 32), 1).astype(jnp.float32)
+        == bins,
+        1.0,
+        0.0,
+    )
+    return jnp.sum(oh * (grad * w), axis=0, keepdims=True)  # [1, 32]
+
+
+def _make_orientation_kernel(block_k: int):
+    def kernel(x0_ref, y0_ref, fx_ref, fy_ref, is_ref, img_ref, out_ref):
+        kb = pl.program_id(0)
+        for k in range(block_k):
+            i = kb * block_k + k
+            h = _orientation_one(
+                img_ref, x0_ref[i], y0_ref[i],
+                fx_ref[i], fy_ref[i], is_ref[i],
+            )
+            out_ref[k, :] = h[0, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def orientation_histogram_sample(img, x, y, scale, *,
+                                 block_k: int = 8, interpret: bool = False):
+    """[K, 32] gradient-orientation histograms via the Pallas kernel."""
+    K = x.shape[0]
+    H, W = img.shape
+    P = ORI_P
+    img = _pad_for_kernel(img, P)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32) - P // 2 + 1, 0, max(W - P, 0))
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32) - P // 2 + 1, 0, max(H - P, 0))
+    fx = x - x0.astype(jnp.float32)
+    fy = y - y0.astype(jnp.float32)
+    inv2s2 = -1.0 / (2.0 * (1.5 * scale) ** 2)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        _make_orientation_kernel(block_k),
+        out_shape=jax.ShapeDtypeStruct((K, 32), jnp.float32),
+        grid=(K // block_k,),
+        in_specs=[smem] * 5 + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (block_k, 32), lambda kb: (kb, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(x0, y0, fx, fy, inv2s2, img)
+    return out

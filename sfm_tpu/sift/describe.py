@@ -49,13 +49,28 @@ _W_SPATIAL = _spatial_weight_matrix()
 _GAUSS16 = np.exp(-((np.arange(16) - 7.5) ** 2) / 128.0).astype(np.float32)
 
 
-def extract_descriptors(img, x, y, scale, orientation_deg):
+def normalize_descriptors(desc):
+    """Two-pass normalization with 0.2 clamp (cudaSiftD.cu:389-409)."""
+    n1 = jnp.sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True))
+    desc = jnp.minimum(desc / jnp.maximum(n1, 1e-12), 0.2)
+    n2 = jnp.sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True))
+    return desc / jnp.maximum(n2, 1e-12)
+
+
+def extract_descriptors(img, x, y, scale, orientation_deg, *,
+                        use_pallas=False):
     """[K, 128] L2-normalized SIFT descriptors.
 
     Layout matches the reference buffer: index = 8*(4*row_cell +
     col_cell) + angle_bin (cudaSiftD.cu:357-359), so descriptors are
-    directly comparable.
+    directly comparable.  With use_pallas the sampling runs in the
+    Pallas TPU kernel (ops.pallas_sample).
     """
+    if use_pallas:
+        from sfm_tpu.ops import pallas_sample
+
+        raw = pallas_sample.descriptor_sample(img, x, y, scale, orientation_deg)
+        return normalize_descriptors(raw)
     theta = orientation_deg * (2.0 * jnp.pi / 360.0)
     cosa = jnp.cos(theta)
     sina = jnp.sin(theta)
@@ -85,8 +100,4 @@ def extract_descriptors(img, x, y, scale, orientation_deg):
     tmp = jnp.einsum("kjia,jc->kcia", T, Wsp)     # row cells
     desc = jnp.einsum("kcia,id->kcda", tmp, Wsp)  # col cells -> [K,4,4,8]
     desc = desc.reshape(desc.shape[0], 128)
-    # Two-pass normalization with 0.2 clamp.
-    n1 = jnp.sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True))
-    desc = jnp.minimum(desc / jnp.maximum(n1, 1e-12), 0.2)
-    n2 = jnp.sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True))
-    return desc / jnp.maximum(n2, 1e-12)
+    return normalize_descriptors(desc)

@@ -124,6 +124,12 @@ def _refine(nb):
     pdx = jnp.where(fallback, safe(dx, dxx), pdx)
     pdy = jnp.where(fallback, safe(dy, dyy), pdy)
     pds = jnp.where(fallback, safe(ds, dss), pds)
+    # The quadratic model is only valid within ~1 pixel/plane; clamping
+    # also bounds keypoint scale to 2^(1/S + 1) so the Pallas sampling
+    # kernels' static patch size covers every descriptor window.
+    pdx = jnp.clip(pdx, -1.0, 1.0)
+    pdy = jnp.clip(pdy, -1.0, 1.0)
+    pds = jnp.clip(pds, -1.0, 1.0)
     dval = 0.5 * (dx * pdx + dy * pdy + ds * pds)
     return pdx, pdy, pds, val + dval, edge
 

@@ -46,11 +46,19 @@ class SiftResult(NamedTuple):
     descriptors: jnp.ndarray  # [K, 128]
 
 
+def _use_pallas(cfg: SiftConfig) -> bool:
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
+    return jax.default_backend() != "cpu"
+
+
 def _extract_octave(oct_: pyramid.Octave, cfg: SiftConfig, octave_index: int):
+    use_pallas = _use_pallas(cfg)
     det = detect_mod.detect(oct_.dog, cfg, oct_.subsampling)
     ori1, ori2, valid2 = orient.assign_orientations(
         oct_.base, det.x, det.y, det.scale, det.valid,
         duplicates=cfg.orientation_duplicates,
+        use_pallas=use_pallas,
     )
     # Primary + duplicate slots (fixed second slot replaces the
     # reference's atomicInc append of split-orientation keypoints).
@@ -61,7 +69,9 @@ def _extract_octave(oct_: pyramid.Octave, cfg: SiftConfig, octave_index: int):
     edge = jnp.concatenate([det.edgeness, det.edgeness])
     ori = jnp.concatenate([ori1, ori2])
     valid = jnp.concatenate([det.valid, valid2])
-    desc = describe.extract_descriptors(oct_.base, x, y, sc, ori)
+    desc = describe.extract_descriptors(
+        oct_.base, x, y, sc, ori, use_pallas=use_pallas
+    )
     desc = desc * valid[:, None]
     sub = oct_.subsampling
     kp = Keypoints(

@@ -70,13 +70,21 @@ def _interp_peak(hs, idx):
     return 11.25 * peak
 
 
-def assign_orientations(img, x, y, scale, valid, *, duplicates=True):
+def assign_orientations(img, x, y, scale, valid, *, duplicates=True,
+                        use_pallas=False):
     """Returns (orientation1 [K], orientation2 [K], valid2 [K]).
 
     orientation2/valid2 encode the reference's duplicated keypoints for
-    strong secondary peaks.
+    strong secondary peaks.  With use_pallas, the histogram sampling
+    runs in the Pallas TPU kernel (ops.pallas_sample) instead of the
+    XLA gather path.
     """
-    h = orientation_histograms(img, x, y, scale)
+    if use_pallas:
+        from sfm_tpu.ops import pallas_sample
+
+        h = pallas_sample.orientation_histogram_sample(img, x, y, scale)
+    else:
+        h = orientation_histograms(img, x, y, scale)
     hs = smooth_histogram(h)
     left = jnp.roll(hs, 1, axis=-1)
     right = jnp.roll(hs, -1, axis=-1)
