@@ -71,8 +71,16 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
     ref = refine.refine_relative_pose(
         p["R"], p["t"], x1, x2, weights=res.inliers, iters=cfg.refine_iters,
     )
+    # The Sampson objective is invariant to the 4-fold (R, t) ambiguity
+    # of E, so the refined pose can land on the wrong cheirality branch
+    # (observed on the dino's near-forward motion).  Re-run the
+    # candidate vote on the REFINED essential matrix.
+    p2 = pose.recover_pose(ref.E, x1, x2, weights=res.inliers.astype(x1.dtype))
+    R_fin = p2["R"]
+    t_fin = p2["t"]
+    ref = ref._replace(R=R_fin, t=t_fin)
     P1 = tri.make_projection(jnp.eye(3, dtype=x1.dtype), jnp.zeros(3, x1.dtype))
-    P2 = tri.make_projection(ref.R, ref.t)
+    P2 = tri.make_projection(R_fin, t_fin)
     X, w, finite = tri.triangulate(x1, x2, P1, P2)
     z2 = tri.depths(X, ref.R, ref.t)
     cheir = (X[..., 2] > 0) & (z2 > 0)

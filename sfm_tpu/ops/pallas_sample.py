@@ -199,22 +199,25 @@ def _descriptor_one(img_ref, w2d_ref, wsp_ref, x0, y0, fx, fy, cosa, sina, scale
 
 
 def _make_descriptor_kernel(block_k: int):
-    def kernel(x0_ref, y0_ref, fx_ref, fy_ref, ca_ref, sa_ref, sc_ref,
-               img_ref, w2d_ref, wsp_ref, out_ref):
+    def kernel(count_ref, x0_ref, y0_ref, fx_ref, fy_ref, ca_ref, sa_ref,
+               sc_ref, img_ref, w2d_ref, wsp_ref, out_ref):
         kb = pl.program_id(0)
         for k in range(block_k):
             i = kb * block_k + k
-            d = _descriptor_one(
-                img_ref, w2d_ref, wsp_ref, x0_ref[i], y0_ref[i],
-                fx_ref[i], fy_ref[i], ca_ref[i], sa_ref[i], sc_ref[i],
-            )
-            out_ref[k, :] = d[0, :]
+
+            @pl.when(i < count_ref[0])
+            def _():
+                d = _descriptor_one(
+                    img_ref, w2d_ref, wsp_ref, x0_ref[i], y0_ref[i],
+                    fx_ref[i], fy_ref[i], ca_ref[i], sa_ref[i], sc_ref[i],
+                )
+                out_ref[k, :] = d[0, :]
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
-def descriptor_sample(img, x, y, scale, orientation_deg, *,
+def descriptor_sample(img, x, y, scale, orientation_deg, count=None, *,
                       block_k: int = 8, interpret: bool = False):
     """[K, 128] raw (unnormalized) descriptors via the Pallas kernel.
 
@@ -232,6 +235,10 @@ def descriptor_sample(img, x, y, scale, orientation_deg, *,
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32) - P // 2 + 1, 0, max(H - P, 0))
     fx = x - x0.astype(jnp.float32)
     fy = y - y0.astype(jnp.float32)
+    if count is None:
+        count = jnp.asarray([K], jnp.int32)
+    else:
+        count = jnp.asarray(count, jnp.int32).reshape(1)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -239,12 +246,12 @@ def descriptor_sample(img, x, y, scale, orientation_deg, *,
         _make_descriptor_kernel(block_k),
         out_shape=jax.ShapeDtypeStruct((K, 128), jnp.float32),
         grid=(K // block_k,),
-        in_specs=[smem] * 7 + [vmem] * 3,
+        in_specs=[smem] * 8 + [vmem] * 3,
         out_specs=pl.BlockSpec(
             (block_k, 128), lambda kb: (kb, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(x0, y0, fx, fy, cosa, sina, scale, img,
+    )(count, x0, y0, fx, fy, cosa, sina, scale, img,
       jnp.asarray(_W2D_COL), jnp.asarray(_W_SPATIAL_128))
     return out
 
@@ -280,21 +287,25 @@ def _orientation_one(img_ref, x0, y0, fx, fy, inv2s2):
 
 
 def _make_orientation_kernel(block_k: int):
-    def kernel(x0_ref, y0_ref, fx_ref, fy_ref, is_ref, img_ref, out_ref):
+    def kernel(count_ref, x0_ref, y0_ref, fx_ref, fy_ref, is_ref, img_ref,
+               out_ref):
         kb = pl.program_id(0)
         for k in range(block_k):
             i = kb * block_k + k
-            h = _orientation_one(
-                img_ref, x0_ref[i], y0_ref[i],
-                fx_ref[i], fy_ref[i], is_ref[i],
-            )
-            out_ref[k, :] = h[0, :]
+
+            @pl.when(i < count_ref[0])
+            def _():
+                h = _orientation_one(
+                    img_ref, x0_ref[i], y0_ref[i],
+                    fx_ref[i], fy_ref[i], is_ref[i],
+                )
+                out_ref[k, :] = h[0, :]
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
-def orientation_histogram_sample(img, x, y, scale, *,
+def orientation_histogram_sample(img, x, y, scale, count=None, *,
                                  block_k: int = 8, interpret: bool = False):
     """[K, 32] gradient-orientation histograms via the Pallas kernel."""
     K = x.shape[0]
@@ -306,16 +317,20 @@ def orientation_histogram_sample(img, x, y, scale, *,
     fx = x - x0.astype(jnp.float32)
     fy = y - y0.astype(jnp.float32)
     inv2s2 = -1.0 / (2.0 * (1.5 * scale) ** 2)
+    if count is None:
+        count = jnp.asarray([K], jnp.int32)
+    else:
+        count = jnp.asarray(count, jnp.int32).reshape(1)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         _make_orientation_kernel(block_k),
         out_shape=jax.ShapeDtypeStruct((K, 32), jnp.float32),
         grid=(K // block_k,),
-        in_specs=[smem] * 5 + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[smem] * 6 + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
             (block_k, 32), lambda kb: (kb, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(x0, y0, fx, fy, inv2s2, img)
+    )(count, x0, y0, fx, fy, inv2s2, img)
     return out

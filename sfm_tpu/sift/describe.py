@@ -58,18 +58,30 @@ def normalize_descriptors(desc):
 
 
 def extract_descriptors(img, x, y, scale, orientation_deg, *,
-                        use_pallas=False):
+                        valid=None, use_pallas=False):
     """[K, 128] L2-normalized SIFT descriptors.
 
     Layout matches the reference buffer: index = 8*(4*row_cell +
     col_cell) + angle_bin (cudaSiftD.cu:357-359), so descriptors are
     directly comparable.  With use_pallas the sampling runs in the
-    Pallas TPU kernel (ops.pallas_sample).
+    Pallas TPU kernel (ops.pallas_sample); when `valid` is given, work
+    is compacted so only real keypoints are sampled.
     """
     if use_pallas:
+        import jax.numpy as _jnp
         from sfm_tpu.ops import pallas_sample
 
-        raw = pallas_sample.descriptor_sample(img, x, y, scale, orientation_deg)
+        if valid is not None:
+            order = _jnp.argsort(~valid, stable=True)
+            inv = _jnp.argsort(order)
+            raw = pallas_sample.descriptor_sample(
+                img, x[order], y[order], scale[order], orientation_deg[order],
+                count=_jnp.sum(valid, dtype=_jnp.int32),
+            )[inv]
+        else:
+            raw = pallas_sample.descriptor_sample(
+                img, x, y, scale, orientation_deg
+            )
         return normalize_descriptors(raw)
     theta = orientation_deg * (2.0 * jnp.pi / 360.0)
     cosa = jnp.cos(theta)

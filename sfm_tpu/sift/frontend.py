@@ -1,11 +1,18 @@
 """SIFT frontend orchestration: pyramid -> detect -> orient -> describe.
 
 TPU-native equivalent of the reference's ExtractSift host loop
-(reference CudaSift/cudaSiftH.cu:72-167): the recursive octave descent
-becomes a static Python loop over per-octave static shapes, the global
-SiftPoint array + device counters become fixed-capacity SoA arrays with
-validity masks, and the whole frontend jits into one XLA program per
-image geometry.
+(reference CudaSift/cudaSiftH.cu:72-167).  Architecture (r1, perf
+pass 2):
+
+  * detection runs densely per octave (static shapes);
+  * all octave base images are packed into ONE vertical atlas with
+    edge-replicated guard bands, so orientation and descriptor
+    sampling for EVERY keypoint of every octave run as a single
+    Pallas kernel launch each (10 launches -> 2);
+  * keypoints are globally compacted by validity so kernel work
+    scales with the real keypoint count, not the slot capacity;
+  * the global SiftPoint array + device counters of the reference
+    become fixed-capacity SoA arrays with validity masks.
 """
 
 from __future__ import annotations
@@ -18,6 +25,8 @@ import jax.numpy as jnp
 
 from sfm_tpu.config import SiftConfig
 from sfm_tpu.sift import pyramid, detect as detect_mod, orient, describe
+
+_GUARD = 48  # vertical guard rows between octaves (>= descriptor patch)
 
 
 class Keypoints(NamedTuple):
@@ -52,39 +61,54 @@ def _use_pallas(cfg: SiftConfig) -> bool:
     return jax.default_backend() != "cpu"
 
 
-def _extract_octave(oct_: pyramid.Octave, cfg: SiftConfig, octave_index: int):
-    use_pallas = _use_pallas(cfg)
-    det = detect_mod.detect(oct_.dog, cfg, oct_.subsampling)
-    ori1, ori2, valid2 = orient.assign_orientations(
-        oct_.base, det.x, det.y, det.scale, det.valid,
-        duplicates=cfg.orientation_duplicates,
-        use_pallas=use_pallas,
-    )
-    # Primary + duplicate slots (fixed second slot replaces the
-    # reference's atomicInc append of split-orientation keypoints).
-    x = jnp.concatenate([det.x, det.x])
-    y = jnp.concatenate([det.y, det.y])
-    sc = jnp.concatenate([det.scale, det.scale])
-    sharp = jnp.concatenate([det.sharpness, det.sharpness])
-    edge = jnp.concatenate([det.edgeness, det.edgeness])
-    ori = jnp.concatenate([ori1, ori2])
-    valid = jnp.concatenate([det.valid, valid2])
-    desc = describe.extract_descriptors(
-        oct_.base, x, y, sc, ori, use_pallas=use_pallas
-    )
-    desc = desc * valid[:, None]
-    sub = oct_.subsampling
-    kp = Keypoints(
-        x=x * sub,
-        y=y * sub,
-        scale=sc * sub,
-        sharpness=sharp,
-        edgeness=edge,
-        orientation=ori,
-        octave=jnp.full(x.shape, octave_index, jnp.int32),
-        valid=valid,
-    )
-    return kp, desc
+def _build_atlas(bases):
+    """Pack octave base images vertically with edge-replicated guards.
+
+    Returns (atlas [Ha, W0], row_offsets list).  Guards prevent a
+    patch at one octave's border from reading another octave's pixels;
+    horizontal padding replicates each octave's right edge.
+    """
+    W0 = bases[0].shape[1]
+    rows = []
+    offsets = []
+    y = 0
+    for base in bases:
+        H, W = base.shape
+        padded = jnp.pad(
+            base, ((_GUARD, _GUARD), (0, W0 - W)), mode="edge"
+        )
+        offsets.append(y + _GUARD)
+        rows.append(padded)
+        y += H + 2 * _GUARD
+    return jnp.concatenate(rows, axis=0), offsets
+
+
+def _sample_orientations(atlas, x, y, scale, valid, cfg, use_pallas):
+    """[K, 32] histograms over atlas coordinates, compacted if Pallas."""
+    if use_pallas:
+        from sfm_tpu.ops import pallas_sample
+
+        order = jnp.argsort(~valid, stable=True)
+        inv = jnp.argsort(order)
+        return pallas_sample.orientation_histogram_sample(
+            atlas, x[order], y[order], scale[order],
+            count=jnp.sum(valid, dtype=jnp.int32),
+        )[inv]
+    return orient.orientation_histograms(atlas, x, y, scale)
+
+
+def _sample_descriptors(atlas, x, y, scale, ori, valid, use_pallas):
+    if use_pallas:
+        from sfm_tpu.ops import pallas_sample
+
+        order = jnp.argsort(~valid, stable=True)
+        inv = jnp.argsort(order)
+        raw = pallas_sample.descriptor_sample(
+            atlas, x[order], y[order], scale[order], ori[order],
+            count=jnp.sum(valid, dtype=jnp.int32),
+        )[inv]
+        return describe.normalize_descriptors(raw)
+    return describe.extract_descriptors(atlas, x, y, scale, ori)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -94,14 +118,65 @@ def extract_sift(img, cfg: SiftConfig = SiftConfig()) -> SiftResult:
     Returns fixed-capacity keypoints+descriptors with validity masks;
     capacity = num_octaves * 2 * max_pts_per_octave.
     """
+    use_pallas = _use_pallas(cfg)
     octaves = pyramid.build_pyramid(img, cfg)
-    kps, descs = [], []
-    for o, oct_ in enumerate(octaves):
-        kp, d = _extract_octave(oct_, cfg, o)
-        kps.append(kp)
-        descs.append(d)
-    kp = Keypoints(*[jnp.concatenate(parts) for parts in zip(*kps)])
-    desc = jnp.concatenate(descs)
+
+    dets = [
+        detect_mod.detect(oct_.dog, cfg, oct_.subsampling) for oct_ in octaves
+    ]
+    atlas, offsets = _build_atlas([o.base for o in octaves])
+
+    # Concatenate detections in atlas coordinates.
+    x_a = jnp.concatenate([d.x for d in dets])
+    y_a = jnp.concatenate(
+        [d.y + off for d, off in zip(dets, offsets)]
+    )
+    sc_a = jnp.concatenate([d.scale for d in dets])
+    sharp_a = jnp.concatenate([d.sharpness for d in dets])
+    edge_a = jnp.concatenate([d.edgeness for d in dets])
+    valid_a = jnp.concatenate([d.valid for d in dets])
+    oct_a = jnp.concatenate(
+        [jnp.full(d.x.shape, i, jnp.int32) for i, d in enumerate(dets)]
+    )
+    sub_a = jnp.concatenate(
+        [jnp.full(d.x.shape, o.subsampling, jnp.float32)
+         for d, o in zip(dets, octaves)]
+    )
+
+    h = _sample_orientations(atlas, x_a, y_a, sc_a, valid_a, cfg, use_pallas)
+    ori1, ori2, valid2 = orient.orientations_from_histograms(
+        h, valid_a, duplicates=cfg.orientation_duplicates
+    )
+
+    # Primary + duplicate slots (fixed second slot replaces the
+    # reference's atomicInc append of split-orientation keypoints).
+    x2 = jnp.concatenate([x_a, x_a])
+    y2 = jnp.concatenate([y_a, y_a])
+    sc2 = jnp.concatenate([sc_a, sc_a])
+    sharp2 = jnp.concatenate([sharp_a, sharp_a])
+    edge2 = jnp.concatenate([edge_a, edge_a])
+    ori_2 = jnp.concatenate([ori1, ori2])
+    valid_2 = jnp.concatenate([valid_a, valid2])
+    oct_2 = jnp.concatenate([oct_a, oct_a])
+    sub_2 = jnp.concatenate([sub_a, sub_a])
+
+    desc = _sample_descriptors(atlas, x2, y2, sc2, ori_2, valid_2, use_pallas)
+    desc = desc * valid_2[:, None]
+
+    off_2 = jnp.concatenate(
+        [jnp.full(d.x.shape, off, jnp.float32) for d, off in zip(dets, offsets)]
+    )
+    off_2 = jnp.concatenate([off_2, off_2])
+    kp = Keypoints(
+        x=x2 * sub_2,
+        y=(y2 - off_2) * sub_2,
+        scale=sc2 * sub_2,
+        sharpness=sharp2,
+        edgeness=edge2,
+        orientation=ori_2,
+        octave=oct_2,
+        valid=valid_2,
+    )
     if cfg.up_scale:
         # Back to input-image pixels (reference RescalePositions(0.5),
         # cudaSiftH.cu:131).

@@ -82,9 +82,19 @@ def assign_orientations(img, x, y, scale, valid, *, duplicates=True,
     if use_pallas:
         from sfm_tpu.ops import pallas_sample
 
-        h = pallas_sample.orientation_histogram_sample(img, x, y, scale)
+        order = jnp.argsort(~valid, stable=True)
+        inv = jnp.argsort(order)
+        h = pallas_sample.orientation_histogram_sample(
+            img, x[order], y[order], scale[order],
+            count=jnp.sum(valid, dtype=jnp.int32),
+        )[inv]
     else:
         h = orientation_histograms(img, x, y, scale)
+    return orientations_from_histograms(h, valid, duplicates=duplicates)
+
+
+def orientations_from_histograms(h, valid, *, duplicates=True):
+    """Peak finding on [K, 32] histograms -> (ori1, ori2, valid2)."""
     hs = smooth_histogram(h)
     left = jnp.roll(hs, 1, axis=-1)
     right = jnp.roll(hs, -1, axis=-1)

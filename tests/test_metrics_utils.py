@@ -1,0 +1,114 @@
+"""Tests for metrics (Umeyama/ATE), checkpointing, homography, CLI-level
+IO pieces."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from helpers import rot
+from sfm_tpu.utils import metrics, checkpoint
+from sfm_tpu.geometry import homography
+
+
+def test_umeyama_recovers_similarity(rng):
+    src = rng.normal(size=(50, 3))
+    R = rot([0.3, 0.5, 1.0], 0.7)
+    s, t = 2.5, np.array([1.0, -2.0, 0.5])
+    dst = s * src @ R.T + t
+    s_e, R_e, t_e = metrics.umeyama_alignment(src, dst)
+    assert abs(s_e - s) < 1e-9
+    assert np.abs(R_e - R).max() < 1e-9
+    assert np.abs(t_e - t).max() < 1e-9
+
+
+def test_ate_zero_for_similarity_transformed(rng):
+    M = 8
+    R_gt = np.stack([rot([0, 1, 0], 0.1 * i) for i in range(M)])
+    t_gt = rng.normal(size=(M, 3))
+    # Estimated = same trajectory in a rotated/scaled frame
+    S = rot([1, 0, 0], 0.4)
+    R_est = np.einsum("mij,jk->mik", R_gt, S.T)
+    centers = metrics.camera_centers(R_gt, t_gt)
+    c_est = 3.0 * centers @ S.T + np.array([5.0, 0, 0])
+    t_est = -np.einsum("mij,mj->mi", R_est, c_est)
+    rmse, err = metrics.ate_rmse(R_est, t_est, R_gt, t_gt)
+    assert rmse < 1e-6
+
+
+def test_ate_detects_error(rng):
+    M = 6
+    R_gt = np.stack([rot([0, 1, 0], 0.1 * i) for i in range(M)])
+    t_gt = rng.normal(size=(M, 3))
+    t_bad = t_gt + rng.normal(scale=0.2, size=t_gt.shape)
+    rmse, _ = metrics.ate_rmse(R_gt, t_bad, R_gt, t_gt)
+    assert rmse > 0.01
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from sfm_tpu.models.incremental import MapState
+
+    state = MapState(
+        X=jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32)),
+        X_valid=jnp.asarray(rng.random(10) > 0.5),
+        n_points=jnp.asarray(5, jnp.int32),
+        R=jnp.asarray(np.stack([np.eye(3, dtype=np.float32)] * 3)),
+        t=jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32)),
+        pose_valid=jnp.asarray([True, True, False]),
+        point_id=jnp.asarray(rng.integers(-1, 10, (3, 7)).astype(np.int32)),
+    )
+    p = tmp_path / "map.npz"
+    checkpoint.save_map(p, state, extra={"K": [[1, 0, 0]]})
+    loaded, extra = checkpoint.load_map(p)
+    assert extra == {"K": [[1, 0, 0]]}
+    for a, b in zip(state, loaded):
+        np.testing.assert_array_equal(np.array(a), np.array(b))
+
+
+def test_homography_ransac(rng):
+    H_gt = np.array(
+        [[1.1, 0.05, 10.0], [-0.03, 0.95, -5.0], [1e-4, -5e-5, 1.0]], np.float64
+    )
+    n = 300
+    uv1 = rng.uniform(0, 500, size=(n, 2))
+    ph = np.concatenate([uv1, np.ones((n, 1))], axis=1) @ H_gt.T
+    uv2 = ph[:, :2] / ph[:, 2:3]
+    uv2 += rng.normal(scale=0.3, size=uv2.shape)
+    n_out = 60
+    uv2[:n_out] = rng.uniform(0, 500, size=(n_out, 2))
+    res = homography.ransac_homography(
+        jax.random.PRNGKey(0),
+        jnp.asarray(uv1.astype(np.float32)),
+        jnp.asarray(uv2.astype(np.float32)),
+        n_hyps=512, threshold=4.0,
+    )
+    inl = np.array(res.inliers)
+    assert inl[:n_out].sum() <= 3
+    assert inl[n_out:].mean() > 0.9
+    H = np.array(res.H, np.float64)
+    H = H / H[2, 2]
+    assert np.abs(H - H_gt).max() / np.abs(H_gt).max() < 0.01
+
+
+def test_native_io_roundtrip(tmp_path, rng):
+    from sfm_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    # PGM write via python, read via native
+    img = (rng.random((24, 32)) * 255).astype(np.uint8)
+    p = tmp_path / "t.pgm"
+    with open(p, "wb") as f:
+        f.write(b"P5\n# comment\n32 24\n255\n")
+        f.write(img.tobytes())
+    a = native.load_gray(p)
+    np.testing.assert_allclose(a, img.astype(np.float32), atol=1e-4)
+    # PLY export
+    pts = rng.random((20, 3)).astype(np.float32)
+    valid = (rng.random(20) > 0.3).astype(np.uint8)
+    out = tmp_path / "c.ply"
+    n = native.save_ply(out, pts, valid=valid)
+    assert n == valid.sum()
+    head = out.read_bytes()[:200]
+    assert f"element vertex {n}".encode() in head
