@@ -27,6 +27,7 @@ class SiftConfig:
     laplace_radius: int = 4      # LAPLACE_R (cudaSiftD.h:40)
     lowpass_radius: int = 4      # LOWPASS_R (cudaSiftD.h:44)
     use_pallas: bool | None = None  # None = auto (Pallas kernels on TPU)
+    exact_topk: bool = False     # exact lax.top_k vs TPU approx_max_k
 
 
 @dataclasses.dataclass(frozen=True)

@@ -72,7 +72,9 @@ def ransac_homography(
     n1 = (h1 @ T1.T)[:, :2]
     n2 = (h2 @ T2.T)[:, :2]
 
-    order = jnp.argsort(~mask, stable=True)
+    from sfm_tpu.ops.compact import compaction_order
+
+    order = compaction_order(mask)
     n_valid = jnp.maximum(jnp.sum(mask), 1)
     draw = jax.random.randint(key, (n_hyps, 4), 0, jnp.asarray(n, jnp.int32))
     idx = order[draw % n_valid]

@@ -160,7 +160,9 @@ def ransac_pnp(
     Xn = (X - c3) / scale3
 
     # Sample minimal 6-point sets among valid correspondences.
-    order = jnp.argsort(~mask, stable=True)
+    from sfm_tpu.ops.compact import compaction_order
+
+    order = compaction_order(mask)
     n_valid = jnp.maximum(jnp.sum(mask), 1)
     draw = jax.random.randint(key, (n_hyps, 6), 0, jnp.asarray(n, jnp.int32))
     idx = order[draw % n_valid]

@@ -45,7 +45,9 @@ def sample_minimal_sets(key, mask, n_hyps: int):
     only wastes its own hypothesis slot.
     """
     n = mask.shape[0]
-    order = jnp.argsort(~mask, stable=True)  # valid indices first
+    from sfm_tpu.ops.compact import compaction_order
+
+    order = compaction_order(mask)  # valid indices first
     n_valid = jnp.maximum(jnp.sum(mask), 1)
     draw = jax.random.randint(key, (n_hyps, 8), 0, jnp.asarray(n, jnp.int32))
     draw = draw % n_valid

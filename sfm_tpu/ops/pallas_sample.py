@@ -334,3 +334,12 @@ def orientation_histogram_sample(img, x, y, scale, count=None, *,
         interpret=interpret,
     )(count, x0, y0, fx, fy, inv2s2, img)
     return out
+
+
+# NOTE (r1 perf investigation): a "v2" variant batching BK keypoints per
+# program via a naturally-block-diagonal tent matrix ([BK*256, BK*48]
+# with row offsets baked into coordinates) measured 7x SLOWER than the
+# per-keypoint v1 above (76.8 ms vs 11.4 ms for 8192 keypoints) — the
+# 8x zero-padding waste in the big matmuls and the larger iota/VPU
+# builds outweigh the per-op overhead they amortize.  v1 runs at
+# ~1.4 us/keypoint amortized; it was removed after benchmarking.

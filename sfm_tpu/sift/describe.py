@@ -72,7 +72,9 @@ def extract_descriptors(img, x, y, scale, orientation_deg, *,
         from sfm_tpu.ops import pallas_sample
 
         if valid is not None:
-            order = _jnp.argsort(~valid, stable=True)
+            from sfm_tpu.ops.compact import compaction_order
+
+            order = compaction_order(valid)
             inv = _jnp.argsort(order)
             raw = pallas_sample.descriptor_sample(
                 img, x[order], y[order], scale[order], orientation_deg[order],

@@ -37,37 +37,50 @@ class Detections(NamedTuple):
     valid: jnp.ndarray      # [K] bool
 
 
+def _shift(a, dy, dx, fill):
+    """Spatially shifted view of [P, H, W] with constant fill."""
+    H, W = a.shape[-2:]
+    p = jnp.pad(a, ((0, 0), (1, 1), (1, 1)), constant_values=fill)
+    return p[:, 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+
+
 def _neighbor_extrema(dog, n_scales: int):
     """Max/min over the 26 neighbors for each of the S center planes.
 
     dog: [S+2, H, W].  Returns (center [S,H,W], maxv, minv).
+    Separable decomposition (~14 shifted passes instead of 52): the
+    horizontal 3-max feeds both the full-3x3 maxima of the adjacent
+    planes and the in-plane 8-neighbor maxima.
     """
     S = n_scales
     center = dog[1 : S + 1]
     neg = jnp.float32(-3.4e38)
     pos = jnp.float32(3.4e38)
 
-    def spatial_shifts(a, fill):
-        # [S, H, W] -> list of 9 shifted views (dy, dx in {-1,0,1})
-        p = jnp.pad(a, ((0, 0), (1, 1), (1, 1)), constant_values=fill)
-        H, W = a.shape[-2:]
-        out = []
-        for dy in (0, 1, 2):
-            for dx in (0, 1, 2):
-                out.append(p[:, dy : dy + H, dx : dx + W])
-        return out
-
-    maxv = None
-    minv = None
-    for k in (-1, 0, 1):
-        slab = dog[1 + k : S + 1 + k]
-        for i, (sh_max, sh_min) in enumerate(
-            zip(spatial_shifts(slab, neg), spatial_shifts(slab, pos))
-        ):
-            if k == 0 and i == 4:
-                continue  # exclude the center itself
-            maxv = sh_max if maxv is None else jnp.maximum(maxv, sh_max)
-            minv = sh_min if minv is None else jnp.minimum(minv, sh_min)
+    hmax = jnp.maximum(jnp.maximum(_shift(dog, 0, -1, neg), dog),
+                       _shift(dog, 0, 1, neg))
+    hmin = jnp.minimum(jnp.minimum(_shift(dog, 0, -1, pos), dog),
+                       _shift(dog, 0, 1, pos))
+    full_max = jnp.maximum(jnp.maximum(_shift(hmax, -1, 0, neg), hmax),
+                           _shift(hmax, 1, 0, neg))
+    full_min = jnp.minimum(jnp.minimum(_shift(hmin, -1, 0, pos), hmin),
+                           _shift(hmin, 1, 0, pos))
+    # In-plane 8 neighbors: rows above/below via hmax/hmin, plus the
+    # left/right neighbors in the same row.
+    inp_max = jnp.maximum(
+        jnp.maximum(_shift(hmax, -1, 0, neg), _shift(hmax, 1, 0, neg)),
+        jnp.maximum(_shift(dog, 0, -1, neg), _shift(dog, 0, 1, neg)),
+    )
+    inp_min = jnp.minimum(
+        jnp.minimum(_shift(hmin, -1, 0, pos), _shift(hmin, 1, 0, pos)),
+        jnp.minimum(_shift(dog, 0, -1, pos), _shift(dog, 0, 1, pos)),
+    )
+    maxv = jnp.maximum(
+        jnp.maximum(full_max[0:S], full_max[2 : S + 2]), inp_max[1 : S + 1]
+    )
+    minv = jnp.minimum(
+        jnp.minimum(full_min[0:S], full_min[2 : S + 2]), inp_min[1 : S + 1]
+    )
     return center, maxv, minv
 
 
@@ -150,7 +163,13 @@ def detect(dog, cfg: SiftConfig, subsampling: float) -> Detections:
     cand = cand & border[None]
 
     response = jnp.where(cand, jnp.abs(center), -1.0)
-    scores, flat_idx = jax.lax.top_k(response.reshape(-1), K)
+    if cfg.exact_topk:
+        scores, flat_idx = jax.lax.top_k(response.reshape(-1), K)
+    else:
+        # TPU-optimized approximate top-k (recall ~0.95 among the
+        # strongest responses; the reference's atomic append had no
+        # ordering guarantee at all when saturating, cudaSiftD.cu:1420).
+        scores, flat_idx = jax.lax.approx_max_k(response.reshape(-1), K)
     s_idx = flat_idx // (H * W)
     rem = flat_idx % (H * W)
     y_idx = rem // W

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.config import SiftConfig
+from sfm_tpu.ops.compact import compaction_order
 from sfm_tpu.sift import pyramid, detect as detect_mod, orient, describe
 
 _GUARD = 48  # vertical guard rows between octaves (>= descriptor patch)
@@ -84,29 +85,24 @@ def _build_atlas(bases):
 
 
 def _sample_orientations(atlas, x, y, scale, valid, cfg, use_pallas):
-    """[K, 32] histograms over atlas coordinates, compacted if Pallas."""
+    """[K, 32] histograms; inputs must already be validity-compacted."""
     if use_pallas:
         from sfm_tpu.ops import pallas_sample
 
-        order = jnp.argsort(~valid, stable=True)
-        inv = jnp.argsort(order)
         return pallas_sample.orientation_histogram_sample(
-            atlas, x[order], y[order], scale[order],
-            count=jnp.sum(valid, dtype=jnp.int32),
-        )[inv]
+            atlas, x, y, scale, count=jnp.sum(valid, dtype=jnp.int32)
+        )
     return orient.orientation_histograms(atlas, x, y, scale)
 
 
 def _sample_descriptors(atlas, x, y, scale, ori, valid, use_pallas):
+    """[K, 128] descriptors; inputs must already be validity-compacted."""
     if use_pallas:
         from sfm_tpu.ops import pallas_sample
 
-        order = jnp.argsort(~valid, stable=True)
-        inv = jnp.argsort(order)
         raw = pallas_sample.descriptor_sample(
-            atlas, x[order], y[order], scale[order], ori[order],
-            count=jnp.sum(valid, dtype=jnp.int32),
-        )[inv]
+            atlas, x, y, scale, ori, count=jnp.sum(valid, dtype=jnp.int32)
+        )
         return describe.normalize_descriptors(raw)
     return describe.extract_descriptors(atlas, x, y, scale, ori)
 
@@ -126,7 +122,10 @@ def extract_sift(img, cfg: SiftConfig = SiftConfig()) -> SiftResult:
     ]
     atlas, offsets = _build_atlas([o.base for o in octaves])
 
-    # Concatenate detections in atlas coordinates.
+    # Concatenate detections in atlas coordinates and compact valid
+    # ones to the front ONCE — kernels then process a count-gated
+    # prefix, and outputs stay in compacted order (only the small [K]
+    # metadata arrays are ever permuted, never the [K, 128] block).
     x_a = jnp.concatenate([d.x for d in dets])
     y_a = jnp.concatenate(
         [d.y + off for d, off in zip(dets, offsets)]
@@ -142,14 +141,25 @@ def extract_sift(img, cfg: SiftConfig = SiftConfig()) -> SiftResult:
         [jnp.full(d.x.shape, o.subsampling, jnp.float32)
          for d, o in zip(dets, octaves)]
     )
+    off_a = jnp.concatenate(
+        [jnp.full(d.x.shape, off, jnp.float32) for d, off in zip(dets, offsets)]
+    )
+
+    order = compaction_order(valid_a)
+    x_a, y_a, sc_a, sharp_a, edge_a, valid_a, oct_a, sub_a, off_a = (
+        a[order]
+        for a in (x_a, y_a, sc_a, sharp_a, edge_a, valid_a, oct_a, sub_a, off_a)
+    )
 
     h = _sample_orientations(atlas, x_a, y_a, sc_a, valid_a, cfg, use_pallas)
     ori1, ori2, valid2 = orient.orientations_from_histograms(
         h, valid_a, duplicates=cfg.orientation_duplicates
     )
+    valid2 = valid2 & valid_a
 
     # Primary + duplicate slots (fixed second slot replaces the
     # reference's atomicInc append of split-orientation keypoints).
+    # Duplicates are rare, so compact the combined set once more.
     x2 = jnp.concatenate([x_a, x_a])
     y2 = jnp.concatenate([y_a, y_a])
     sc2 = jnp.concatenate([sc_a, sc_a])
@@ -159,14 +169,17 @@ def extract_sift(img, cfg: SiftConfig = SiftConfig()) -> SiftResult:
     valid_2 = jnp.concatenate([valid_a, valid2])
     oct_2 = jnp.concatenate([oct_a, oct_a])
     sub_2 = jnp.concatenate([sub_a, sub_a])
+    off_2 = jnp.concatenate([off_a, off_a])
+
+    order2 = compaction_order(valid_2)
+    x2, y2, sc2, sharp2, edge2, ori_2, valid_2, oct_2, sub_2, off_2 = (
+        a[order2]
+        for a in (x2, y2, sc2, sharp2, edge2, ori_2, valid_2, oct_2, sub_2, off_2)
+    )
 
     desc = _sample_descriptors(atlas, x2, y2, sc2, ori_2, valid_2, use_pallas)
     desc = desc * valid_2[:, None]
 
-    off_2 = jnp.concatenate(
-        [jnp.full(d.x.shape, off, jnp.float32) for d, off in zip(dets, offsets)]
-    )
-    off_2 = jnp.concatenate([off_2, off_2])
     kp = Keypoints(
         x=x2 * sub_2,
         y=(y2 - off_2) * sub_2,

@@ -82,7 +82,9 @@ def assign_orientations(img, x, y, scale, valid, *, duplicates=True,
     if use_pallas:
         from sfm_tpu.ops import pallas_sample
 
-        order = jnp.argsort(~valid, stable=True)
+        from sfm_tpu.ops.compact import compaction_order
+
+        order = compaction_order(valid)
         inv = jnp.argsort(order)
         h = pallas_sample.orientation_histogram_sample(
             img, x[order], y[order], scale[order],
