@@ -107,10 +107,7 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def frontend_stage(img1, img2, cfg: PipelineConfig = PipelineConfig()):
-    """SIFT x2 + match + correspondence gather as one XLA program."""
-    s1 = frontend.extract_sift(img1, cfg.sift)
-    s2 = frontend.extract_sift(img2, cfg.sift)
+def _match_stage(s1, s2, cfg: PipelineConfig):
     m = match_mod.match(
         s1.descriptors, s2.descriptors, s1.keypoints.valid, s2.keypoints.valid,
         cfg.match,
@@ -118,6 +115,17 @@ def frontend_stage(img1, img2, cfg: PipelineConfig = PipelineConfig()):
     return gather_correspondences(
         s1.keypoints, s1.descriptors, s2.keypoints, s2.descriptors, m
     )
+
+
+def frontend_stage(img1, img2, cfg: PipelineConfig = PipelineConfig()):
+    """SIFT x2 + match + correspondence gather (several pipelined
+    dispatches; see sift.frontend.extract_sift for why the stages stay
+    in separate XLA programs).  The dense detection for both images
+    runs batched in one program."""
+    s1, s2 = frontend.extract_sift_batch(
+        jnp.stack([img1, img2]), cfg.sift
+    )
+    return _match_stage(s1, s2, cfg)
 
 
 def two_view_pipeline(img1, img2, K, key, cfg: PipelineConfig = PipelineConfig()):

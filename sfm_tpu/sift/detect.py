@@ -84,36 +84,46 @@ def _neighbor_extrema(dog, n_scales: int):
     return center, maxv, minv
 
 
-def _gather_neighborhood(dog, s, y, x):
-    """Gather [K, 3, 3, 3] neighborhoods around center-plane indices.
+def _refine_dense(dog, n_scales: int):
+    """Dense closed-form 3D quadratic refinement over the whole DoG
+    volume: returns [5, S, H, W] stacked (pdx, pdy, pds, sharpness,
+    edge) maps, mirroring the reference's per-candidate finite
+    differences and adjugate solve (CudaSift/cudaSiftD.cu:1383-1415).
 
-    s indexes the S center planes (actual plane = s + 1); clamping is
-    unnecessary because candidates exclude borders.
+    Dense-then-gather beats gather-then-compute on TPU: the 27-element
+    neighborhood gather per candidate measured +18 ms/image, while
+    these ~20 shifted elementwise passes cost ~1 ms and the final
+    per-candidate lookup gathers only 5 values.
     """
-    offs = jnp.arange(-1, 2)
-    ps = (s[:, None, None, None] + 1) + offs[None, :, None, None]
-    py = y[:, None, None, None] + offs[None, None, :, None]
-    px = x[:, None, None, None] + offs[None, None, None, :]
-    return dog[ps, py, px]  # [K, 3, 3, 3] indexed [plane, row, col]
-
-
-def _refine(nb):
-    """Closed-form 3D quadratic refinement on [K, 3, 3, 3] neighborhoods.
-
-    Returns (pdx, pdy, pds, dval, edge, edge_ok) exactly mirroring the
-    reference's finite differences and adjugate solve
-    (CudaSift/cudaSiftD.cu:1383-1415).
-    """
-    val = nb[:, 1, 1, 1]
-    dxx = 2.0 * val - nb[:, 1, 1, 0] - nb[:, 1, 1, 2]
-    dyy = 2.0 * val - nb[:, 1, 0, 1] - nb[:, 1, 2, 1]
-    dss = 2.0 * val - nb[:, 0, 1, 1] - nb[:, 2, 1, 1]
-    dxy = 0.25 * (nb[:, 1, 2, 2] + nb[:, 1, 0, 0] - nb[:, 1, 0, 2] - nb[:, 1, 2, 0])
-    dxs = 0.25 * (nb[:, 2, 1, 2] + nb[:, 0, 1, 0] - nb[:, 0, 1, 2] - nb[:, 2, 1, 0])
-    dys = 0.25 * (nb[:, 2, 2, 1] + nb[:, 0, 0, 1] - nb[:, 2, 0, 1] - nb[:, 0, 2, 1])
-    dx = 0.5 * (nb[:, 1, 1, 2] - nb[:, 1, 1, 0])
-    dy = 0.5 * (nb[:, 1, 2, 1] - nb[:, 1, 0, 1])
-    ds = 0.5 * (nb[:, 0, 1, 1] - nb[:, 2, 1, 1])
+    S = n_scales
+    z = jnp.float32(0.0)
+    c = dog[1 : S + 1]
+    # Spatial / scale shifts of the center planes.
+    xm = _shift(c, 0, -1, z)
+    xp = _shift(c, 0, 1, z)
+    ym = _shift(c, -1, 0, z)
+    yp = _shift(c, 1, 0, z)
+    sm = dog[0:S]
+    sp = dog[2 : S + 2]
+    val = c
+    dxx = 2.0 * val - xm - xp
+    dyy = 2.0 * val - ym - yp
+    dss = 2.0 * val - sm - sp
+    dxy = 0.25 * (
+        _shift(c, 1, 1, z) + _shift(c, -1, -1, z)
+        - _shift(c, -1, 1, z) - _shift(c, 1, -1, z)
+    )
+    dxs = 0.25 * (
+        _shift(sp, 0, 1, z) + _shift(sm, 0, -1, z)
+        - _shift(sm, 0, 1, z) - _shift(sp, 0, -1, z)
+    )
+    dys = 0.25 * (
+        _shift(sp, 1, 0, z) + _shift(sm, -1, 0, z)
+        - _shift(sp, -1, 0, z) - _shift(sm, 1, 0, z)
+    )
+    dx = 0.5 * (xp - xm)
+    dy = 0.5 * (yp - ym)
+    ds = 0.5 * (sm - sp)
 
     tra = dxx + dyy
     det = dxx * dyy - dxy * dxy
@@ -144,7 +154,7 @@ def _refine(nb):
     pdy = jnp.clip(pdy, -1.0, 1.0)
     pds = jnp.clip(pds, -1.0, 1.0)
     dval = 0.5 * (dx * pdx + dy * pdy + ds * pds)
-    return pdx, pdy, pds, val + dval, edge
+    return jnp.stack([pdx, pdy, pds, val + dval, edge])  # [5, S, H, W]
 
 
 def detect(dog, cfg: SiftConfig, subsampling: float) -> Detections:
@@ -162,13 +172,24 @@ def detect(dog, cfg: SiftConfig, subsampling: float) -> Detections:
     border = jnp.zeros((H, W), bool).at[1:-1, 1:-1].set(True)
     cand = cand & border[None]
 
+    refined = _refine_dense(dog, S)  # [5, S, H, W]
+    pds_d = refined[2]
+    edge_d = refined[4]
+    # Reference test: tra*tra < edgeLimit*det, which requires det > 0;
+    # in ratio form: 0 < tr^2/det < edgeLimit.  Folding the edge and
+    # scale gates into the response BEFORE top-k means every selected
+    # slot is a real keypoint (better capacity use than ref's append).
+    edge_ok = (edge_d > 0.0) & (edge_d < cfg.edge_limit)
+    scale_d = jnp.exp2(
+        (jax.lax.broadcasted_iota(jnp.float32, center.shape, 0) + pds_d) / S
+    )
+    scale_ok = scale_d >= (cfg.lowest_scale / subsampling)
+    cand = cand & edge_ok & scale_ok
+
     response = jnp.where(cand, jnp.abs(center), -1.0)
     if cfg.exact_topk:
         scores, flat_idx = jax.lax.top_k(response.reshape(-1), K)
     else:
-        # TPU-optimized approximate top-k (recall ~0.95 among the
-        # strongest responses; the reference's atomic append had no
-        # ordering guarantee at all when saturating, cudaSiftD.cu:1420).
         scores, flat_idx = jax.lax.approx_max_k(response.reshape(-1), K)
     s_idx = flat_idx // (H * W)
     rem = flat_idx % (H * W)
@@ -176,14 +197,10 @@ def detect(dog, cfg: SiftConfig, subsampling: float) -> Detections:
     x_idx = rem % W
     valid = scores > 0.0
 
-    nb = _gather_neighborhood(dog, s_idx, y_idx, x_idx)
-    pdx, pdy, pds, sharp, edge = _refine(nb)
-    # Reference test: tra*tra < edgeLimit*det, which requires det > 0;
-    # in ratio form: 0 < tr^2/det < edgeLimit.
-    edge_ok = (edge > 0.0) & (edge < cfg.edge_limit)
+    # Gather the 5 refined values per selected candidate (flat take).
+    vals = jnp.take(refined.reshape(5, -1), flat_idx, axis=1)  # [5, K]
+    pdx, pdy, pds, sharp, edge = vals
     scale = jnp.exp2((s_idx.astype(jnp.float32) + pds) / S)
-    scale_ok = scale >= (cfg.lowest_scale / subsampling)
-    valid = valid & edge_ok & scale_ok
 
     return Detections(
         x=x_idx.astype(jnp.float32) + pdx,

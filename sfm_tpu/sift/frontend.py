@@ -81,7 +81,11 @@ def _build_atlas(bases):
         offsets.append(y + _GUARD)
         rows.append(padded)
         y += H + 2 * _GUARD
-    return jnp.concatenate(rows, axis=0), offsets
+    atlas = jnp.concatenate(rows, axis=0)
+    # Materialize the atlas once instead of letting XLA fuse the pad /
+    # concat chain into the sampling kernels' input.
+    atlas = jax.lax.optimization_barrier(atlas)
+    return atlas, offsets
 
 
 def _sample_orientations(atlas, x, y, scale, valid, cfg, use_pallas):
@@ -107,20 +111,85 @@ def _sample_descriptors(atlas, x, y, scale, ori, valid, use_pallas):
     return describe.extract_descriptors(atlas, x, y, scale, ori)
 
 
+def atlas_layout(shape, cfg: SiftConfig):
+    """Static atlas layout for an input of `shape`: (offsets, subs)."""
+    H, W = shape
+    if cfg.up_scale:
+        H, W = 2 * H, 2 * W
+    offsets = []
+    subs = []
+    y = 0
+    sub = 1.0
+    for _ in range(cfg.num_octaves):
+        offsets.append(y + _GUARD)
+        subs.append(sub)
+        y += H + 2 * _GUARD
+        H, W = H // 2, W // 2
+        sub *= 2.0
+    return tuple(offsets), tuple(subs)
+
+
+def _detect_impl(img, cfg: SiftConfig):
+    octaves = pyramid.build_pyramid(img, cfg)
+    dets = [
+        detect_mod.detect(oct_.dog, cfg, oct_.subsampling) for oct_ in octaves
+    ]
+    atlas, _ = _build_atlas([o.base for o in octaves])
+    return atlas, dets
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _detect_stage(img, cfg: SiftConfig):
+    """Dense stage: pyramid + detection + atlas, one XLA program."""
+    return _detect_impl(img, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _detect_stage_batch(imgs, cfg: SiftConfig):
+    """Batched dense stage over [B, H, W] images (one program for a
+    whole image pair/batch — better VPU/MXU utilization than two
+    sequential programs)."""
+    return jax.vmap(lambda im: _detect_impl(im, cfg))(imgs)
+
+
+def extract_sift_batch(imgs, cfg: SiftConfig = SiftConfig()):
+    """Extract SIFT for a batch of same-sized images -> list[SiftResult].
+
+    The dense stage runs batched; per-image sampling stages follow.
+    """
+    use_pallas = _use_pallas(cfg)
+    offsets, subs = atlas_layout(imgs.shape[-2:], cfg)
+    atlas_b, dets_b = _detect_stage_batch(imgs, cfg)
+    results = []
+    for b in range(imgs.shape[0]):
+        atlas = atlas_b[b]
+        dets = jax.tree_util.tree_map(lambda a: a[b], dets_b)
+        results.append(
+            _sample_stage(atlas, offsets, subs, dets, cfg, use_pallas)
+        )
+    return results
+
+
 def extract_sift(img, cfg: SiftConfig = SiftConfig()) -> SiftResult:
     """Full SIFT extraction on an [H, W] f32 image (0..255 scale).
 
     Returns fixed-capacity keypoints+descriptors with validity masks;
     capacity = num_octaves * 2 * max_pts_per_octave.
+
+    Deliberately TWO jitted programs (dense detection, then keypoint
+    sampling): fusing them into one lets XLA make pathological
+    scheduling choices around the top-k / gather boundary (measured
+    +30 ms on a dino image in r1); the extra dispatch pipelines away.
     """
     use_pallas = _use_pallas(cfg)
-    octaves = pyramid.build_pyramid(img, cfg)
+    offsets, subs = atlas_layout(img.shape, cfg)
+    atlas, dets = _detect_stage(img, cfg)
+    return _sample_stage(atlas, offsets, subs, dets, cfg, use_pallas)
 
-    dets = [
-        detect_mod.detect(oct_.dog, cfg, oct_.subsampling) for oct_ in octaves
-    ]
-    atlas, offsets = _build_atlas([o.base for o in octaves])
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas", "offsets", "subs"))
+def _sample_stage(atlas, offsets, subs, dets, cfg: SiftConfig,
+                  use_pallas: bool) -> SiftResult:
 
     # Concatenate detections in atlas coordinates and compact valid
     # ones to the front ONCE — kernels then process a count-gated
@@ -138,8 +207,7 @@ def extract_sift(img, cfg: SiftConfig = SiftConfig()) -> SiftResult:
         [jnp.full(d.x.shape, i, jnp.int32) for i, d in enumerate(dets)]
     )
     sub_a = jnp.concatenate(
-        [jnp.full(d.x.shape, o.subsampling, jnp.float32)
-         for d, o in zip(dets, octaves)]
+        [jnp.full(d.x.shape, s, jnp.float32) for d, s in zip(dets, subs)]
     )
     off_a = jnp.concatenate(
         [jnp.full(d.x.shape, off, jnp.float32) for d, off in zip(dets, offsets)]

@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,6 +75,11 @@ def build_octave(base, cfg: SiftConfig, octave_index: int, subsampling: float) -
     bank = octave_kernel_bank(cfg, octave_index)
     blurred = imops.blur_bank(base, bank)        # [S+3, H, W]
     dog = blurred[1:] - blurred[:-1]             # [S+2, H, W]
+    # Force materialization: without the barrier XLA fuses the blur
+    # bank into every one of the detector's ~14 shifted reads of the
+    # DoG volume, recomputing the convolutions 14x (measured +26 ms on
+    # the dino pair).
+    base, dog = jax.lax.optimization_barrier((base, dog))
     return Octave(base=base, dog=dog, subsampling=subsampling)
 
 
