@@ -51,6 +51,12 @@ class RansacConfig:
     chunk: int = 512
     refit_iters: int = 2
     sweeps: int = 10
+    # Degenerate-configuration rejection: matches with pixel disparity
+    # below this satisfy x^T E x = 0 for ANY skew-symmetric E (static
+    # background on turntable data), poisoning the vote with a
+    # near-identity solution.  The reference has no such guard and its
+    # RANSAC can land on the degenerate branch nondeterministically.
+    min_disparity_px: float = 1.5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -47,6 +47,23 @@ def pose_candidates(E, *, sweeps: int = 8):
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps",))
+def align_candidates(E, R_ref, t_ref, *, sweeps: int = 8):
+    """Pick the (R, t) candidate of E closest to a reference pose.
+
+    Used after on-manifold refinement: the Sampson objective cannot see
+    the 4-fold (R, t) ambiguity, so the branch must be preserved from
+    the pre-refinement cheirality vote — re-voting on the refined E can
+    flip to the wrong branch when votes are marginal (observed on the
+    dino's near-forward motion).
+    """
+    Rs, ts = pose_candidates(E, sweeps=sweeps)
+    rot_score = jnp.einsum("cij,ij->c", Rs, R_ref)  # trace(R_c R_ref^T)
+    t_score = ts @ t_ref
+    best = jnp.argmax(rot_score + t_score)
+    return Rs[best], ts[best]
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps",))
 def recover_pose(E, x1, x2, weights=None, *, sweeps: int = 8):
     """Pick the cheirality-correct (R, t) among the 4 candidates of E.
 

@@ -86,11 +86,16 @@ def _register_image(
     match_ok,   # [K]
     key,
     cfg: PipelineConfig,
+    prev2_idx=None,
+    x_prev2=None,
+    match2_idx=None,   # [K] prev2-slot -> cur-slot
+    match2_ok=None,
 ):
     """PnP-register image cur_idx and extend the map.
 
-    One fused XLA step: 2D-3D PnP RANSAC + pose refine + new-point
-    triangulation + track bookkeeping.
+    One fused XLA step: 2D-3D PnP RANSAC (over correspondences from up
+    to TWO previous frames — denser than single-frame chaining) + pose
+    refine + new-point triangulation + track bookkeeping.
     """
     K_slots = x_prev.shape[0]
     pid_prev = state.point_id[prev_idx]          # [K]
@@ -100,19 +105,38 @@ def _register_image(
     x_obs = x_cur[match_idx]                     # [K, 3] observed in cur
     corr_mask = has_pt & state.X_valid[pid_safe]
 
+    if match2_idx is not None:
+        pid_p2 = state.point_id[prev2_idx]
+        has2 = (pid_p2 >= 0) & match2_ok
+        pid2_safe = jnp.maximum(pid_p2, 0)
+        X2 = state.X[pid2_safe]
+        x_obs2 = x_cur[match2_idx]
+        mask2 = has2 & state.X_valid[pid2_safe]
+        x_pnp = jnp.concatenate([x_obs, x_obs2])
+        X_pnp = jnp.concatenate([X_corr, X2])
+        m_pnp = jnp.concatenate([corr_mask, mask2])
+    else:
+        x_pnp, X_pnp, m_pnp = x_obs, X_corr, corr_mask
+
     rc = cfg.ransac
     res = pnp.ransac_pnp(
-        key, x_obs, X_corr, corr_mask,
+        key, x_pnp, X_pnp, m_pnp,
         n_hyps=rc.n_hyps, threshold=rc.threshold * 4,
     )
     R_new, t_new = res.R, res.t
     ok_pose = res.num_inliers >= 12
 
     # Propagate track ids to current image (observations of existing pts).
-    inherit = corr_mask & res.inliers
+    inl1 = res.inliers[:K_slots]
+    inherit = corr_mask & inl1
     point_id_cur = jnp.full((K_slots,), -1, jnp.int32).at[
         jnp.where(inherit, match_idx, K_slots)
     ].set(jnp.where(inherit, pid_prev, -1), mode="drop")
+    if match2_idx is not None:
+        inherit2 = mask2 & res.inliers[K_slots:]
+        point_id_cur = point_id_cur.at[
+            jnp.where(inherit2, match2_idx, K_slots)
+        ].set(jnp.where(inherit2, pid_p2, -1), mode="drop")
 
     # Triangulate brand-new tracks: matched, prev slot has no point.
     fresh = match_ok & (pid_prev < 0)
@@ -204,6 +228,9 @@ def run_incremental(
         feats[0].keypoints.valid, feats[1].keypoints.valid, cfg.match,
     )
     mask01 = m01.valid & kp_valid[0] & kp_valid[1][m01.index]
+    # Degenerate-configuration rejection (see RansacConfig.min_disparity_px).
+    disp2 = jnp.sum((uv_all[0] - uv_all[1][m01.index]) ** 2, axis=-1)
+    mask01 = mask01 & (disp2 > cfg.ransac.min_disparity_px ** 2)
     x1b = x_norm[0]
     x2b = x_norm[1][m01.index]
     rr = ransac.ransac_essential(
@@ -215,10 +242,9 @@ def run_incremental(
     ref = refine.refine_relative_pose(
         p["R"], p["t"], x1b, x2b, weights=rr.inliers, iters=cfg.refine_iters
     )
-    # Re-vote cheirality on the refined E (see two_view.two_view_geometry).
-    p2 = pose_mod.recover_pose(ref.E, x1b, x2b,
-                               weights=rr.inliers.astype(jnp.float32))
-    ref = ref._replace(R=p2["R"], t=p2["t"])
+    # Preserve the pre-refine cheirality branch (see two_view).
+    R_fin, t_fin = pose_mod.align_candidates(ref.E, p["R"], p["t"])
+    ref = ref._replace(R=R_fin, t=t_fin)
     P1 = tri.make_projection(jnp.eye(3), jnp.zeros(3))
     P2 = tri.make_projection(ref.R, ref.t)
     X01, _, finite01 = tri.triangulate(x1b, x2b, P1, P2)
@@ -237,28 +263,48 @@ def run_incremental(
         point_id=state.point_id.at[0].set(pid0).at[1].set(pid1),
     )
 
-    # --- incremental registration ---
+    # --- incremental registration (2D-3D from up to two prev frames) ---
     for i in range(2, n_images):
         m = match_mod.match(
             feats[i - 1].descriptors, feats[i].descriptors,
             feats[i - 1].keypoints.valid, feats[i].keypoints.valid, cfg.match,
         )
         ok = m.valid & kp_valid[i - 1] & kp_valid[i][m.index]
+        m2 = match_mod.match(
+            feats[i - 2].descriptors, feats[i].descriptors,
+            feats[i - 2].keypoints.valid, feats[i].keypoints.valid, cfg.match,
+        )
+        ok2 = m2.valid & kp_valid[i - 2] & kp_valid[i][m2.index]
         state, n_inl = _register_image(
             state, i - 1, i, x_norm[i - 1], x_norm[i], m.index, ok,
             keys[i], cfg,
+            prev2_idx=i - 2, x_prev2=x_norm[i - 2],
+            match2_idx=m2.index, match2_ok=ok2,
         )
 
-    # --- global bundle adjustment ---
+    # --- global bundle adjustment with one outlier-pruning round ---
     problem = build_ba_problem(state, uv_all, kp_valid, K_inv)
     final, costs = ba.run_ba(
         state.R, state.t, state.X, problem, iters=ba_iters
     )
-    state = state._replace(R=final.R, t=final.t, X=final.X)
+    # Prune gross-residual observations (wrong matches that survived
+    # RANSAC) and polish — the reference has no such loop (it has no BA
+    # at all, README.md:42).
     r = ba._residuals(final.R, final.t, final.X, problem)
-    denom = jnp.maximum(jnp.sum(problem.mask), 1)
-    mean_reproj = jnp.sum(jnp.where(problem.mask, jnp.sum(r * r, -1), 0.0)) / denom
+    rn2 = jnp.sum(r * r, axis=-1)
+    med = jnp.nanmedian(jnp.where(problem.mask, rn2, jnp.nan))
+    keep = problem.mask & (rn2 < 25.0 * jnp.nan_to_num(med, nan=1e-6) + 1e-12)
+    problem2 = problem._replace(mask=keep)
+    final, costs2 = ba.run_ba(
+        final.R, final.t, final.X, problem2, iters=max(ba_iters // 2, 5)
+    )
+    state = state._replace(R=final.R, t=final.t, X=final.X)
+    r = ba._residuals(final.R, final.t, final.X, problem2)
+    denom = jnp.maximum(jnp.sum(problem2.mask), 1)
+    mean_reproj = jnp.sum(
+        jnp.where(problem2.mask, jnp.sum(r * r, -1), 0.0)
+    ) / denom
     return IncrementalResult(
         state=state, uv=uv_all, kp_valid=kp_valid,
-        ba_costs=costs, mean_reproj=mean_reproj,
+        ba_costs=jnp.concatenate([costs, costs2]), mean_reproj=mean_reproj,
     )
