@@ -76,9 +76,11 @@ def match_descriptors_top2(desc1, desc2, valid2=None, *, chunk: int = 2048):
         )
         return (new_best, new_second, new_idx), None
 
+    # Carry stays f32 regardless of descriptor dtype (scores accumulate
+    # on the MXU in f32 via preferred_element_type).
     init = (
-        jnp.full((n1,), _NEG, desc1.dtype),
-        jnp.full((n1,), _NEG, desc1.dtype),
+        jnp.full((n1,), _NEG, jnp.float32),
+        jnp.full((n1,), _NEG, jnp.float32),
         jnp.zeros((n1,), jnp.int32),
     )
     offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk

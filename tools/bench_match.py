@@ -9,7 +9,10 @@ local accelerator, in f32 and bf16.
 Usage: python tools/bench_match.py [N1] [N2]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
