@@ -242,9 +242,10 @@ def run_incremental(
     ref = refine.refine_relative_pose(
         p["R"], p["t"], x1b, x2b, weights=rr.inliers, iters=cfg.refine_iters
     )
-    # Preserve the pre-refine cheirality branch (see two_view).
-    R_fin, t_fin = pose_mod.align_candidates(ref.E, p["R"], p["t"])
-    ref = ref._replace(R=R_fin, t=t_fin)
+    # Re-vote cheirality on the refined E (see two_view).
+    p2 = pose_mod.recover_pose(ref.E, x1b, x2b,
+                               weights=rr.inliers.astype(jnp.float32))
+    ref = ref._replace(R=p2["R"], t=p2["t"])
     P1 = tri.make_projection(jnp.eye(3), jnp.zeros(3))
     P2 = tri.make_projection(ref.R, ref.t)
     X01, _, finite01 = tri.triangulate(x1b, x2b, P1, P2)

@@ -76,9 +76,13 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
         p["R"], p["t"], x1, x2, weights=res.inliers, iters=cfg.refine_iters,
     )
     # The Sampson objective is invariant to the 4-fold (R, t) ambiguity
-    # of E; restore the cheirality branch chosen by the wide pre-refine
-    # vote by picking the refined candidate closest to it.
-    R_fin, t_fin = pose.align_candidates(ref.E, p["R"], p["t"])
+    # of E, so re-run the cheirality vote on the REFINED essential
+    # matrix (refinement can move the pose far once the degenerate
+    # static-match attractor is filtered out, so branch-nearest
+    # selection is NOT safe — the vote is).
+    p2 = pose.recover_pose(ref.E, x1, x2, weights=res.inliers.astype(x1.dtype))
+    R_fin = p2["R"]
+    t_fin = p2["t"]
     ref = ref._replace(R=R_fin, t=t_fin)
     P1 = tri.make_projection(jnp.eye(3, dtype=x1.dtype), jnp.zeros(3, x1.dtype))
     P2 = tri.make_projection(R_fin, t_fin)

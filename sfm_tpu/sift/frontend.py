@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.config import SiftConfig
+from sfm_tpu.ops import image as imops
 from sfm_tpu.ops.compact import compaction_order
 from sfm_tpu.sift import pyramid, detect as detect_mod, orient, describe
 
@@ -129,12 +130,62 @@ def atlas_layout(shape, cfg: SiftConfig):
     return tuple(offsets), tuple(subs)
 
 
+def _atlas_masks(shape, cfg: SiftConfig):
+    """Static per-octave interior mask + row spans for the atlas.
+
+    Returns (mask [Ha, W0] bool numpy, spans list of (row0, rows, W_o)).
+    Guards and horizontal replicate-padding are excluded from detection
+    (matching the per-octave 1-px border exclusion).
+    """
+    import numpy as np
+
+    offsets, subs = atlas_layout(shape, cfg)
+    H, W = shape
+    if cfg.up_scale:
+        H, W = 2 * H, 2 * W
+    W0 = W
+    spans = []
+    total = 0
+    h, w = H, W
+    for o in range(cfg.num_octaves):
+        spans.append((offsets[o], h, w))
+        total = offsets[o] + h + _GUARD
+        h, w = h // 2, w // 2
+    mask = np.zeros((total, W0), bool)
+    for row0, hh, ww in spans:
+        mask[row0 + 1 : row0 + hh - 1, 1 : ww - 1] = True
+    return mask, spans
+
+
 def _detect_impl(img, cfg: SiftConfig):
-    octaves = pyramid.build_pyramid(img, cfg)
-    dets = [
-        detect_mod.detect(oct_.dog, cfg, oct_.subsampling) for oct_ in octaves
-    ]
-    atlas, _ = _build_atlas([o.base for o in octaves])
+    """Atlas-fused dense stage: ONE blur bank + ONE NMS over all
+    octaves packed into the guarded atlas (guard bands double as the
+    convolution halo; horizontal edge-replicate padding reproduces the
+    reference's clamp boundary, cudaSiftH.cu:186-205 texture clamp).
+
+    Semantics note: octaves >= 1 share the converged base-blur constant
+    (0.2886) instead of each octave's exact accumulated value (0.25,
+    0.2795, ...); the resulting blur sigmas differ by < 0.5% — far
+    below the reference's own kernel-truncation error.
+    """
+    bases = pyramid.build_octave_bases(img, cfg)
+    atlas, _ = _build_atlas(bases)
+    mask_np, spans = _atlas_masks(img.shape, cfg)
+
+    # Two blur banks: octave 0 (base blur 0) and the shared deep bank.
+    row_split = spans[1][0] - _GUARD if cfg.num_octaves > 1 else atlas.shape[0]
+    bank0 = pyramid.octave_kernel_bank(cfg, 0)
+    dog_parts = []
+    top = imops.blur_bank(atlas[:row_split], bank0)
+    dog_parts.append(top[1:] - top[:-1])
+    if cfg.num_octaves > 1:
+        deep_cfg_bank = pyramid.octave_kernel_bank(cfg, cfg.num_octaves - 1)
+        rest = imops.blur_bank(atlas[row_split:], deep_cfg_bank)
+        dog_parts.append(rest[1:] - rest[:-1])
+    dog = jnp.concatenate(dog_parts, axis=1)  # [S+2, Ha, W0]
+    dog = jax.lax.optimization_barrier(dog)
+
+    dets = detect_mod.detect_atlas(dog, jnp.asarray(mask_np), spans, cfg)
     return atlas, dets
 
 
@@ -196,9 +247,7 @@ def _sample_stage(atlas, offsets, subs, dets, cfg: SiftConfig,
     # prefix, and outputs stay in compacted order (only the small [K]
     # metadata arrays are ever permuted, never the [K, 128] block).
     x_a = jnp.concatenate([d.x for d in dets])
-    y_a = jnp.concatenate(
-        [d.y + off for d, off in zip(dets, offsets)]
-    )
+    y_a = jnp.concatenate([d.y for d in dets])  # already atlas-frame
     sc_a = jnp.concatenate([d.scale for d in dets])
     sharp_a = jnp.concatenate([d.sharpness for d in dets])
     edge_a = jnp.concatenate([d.edgeness for d in dets])
