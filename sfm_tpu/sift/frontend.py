@@ -168,6 +168,17 @@ def _detect_impl(img, cfg: SiftConfig):
     0.2795, ...); the resulting blur sigmas differ by < 0.5% — far
     below the reference's own kernel-truncation error.
     """
+    if not cfg.atlas_fused_dense:
+        # Per-octave dense path (current perf winner on this backend);
+        # detections shifted into atlas-frame coordinates.
+        octaves = pyramid.build_pyramid(img, cfg)
+        atlas, offsets = _build_atlas([o.base for o in octaves])
+        dets = []
+        for oct_, off in zip(octaves, offsets):
+            d = detect_mod.detect(oct_.dog, cfg, oct_.subsampling)
+            dets.append(d._replace(y=d.y + off))
+        return atlas, dets
+
     bases = pyramid.build_octave_bases(img, cfg)
     atlas, _ = _build_atlas(bases)
     mask_np, spans = _atlas_masks(img.shape, cfg)

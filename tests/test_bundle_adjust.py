@@ -89,6 +89,25 @@ def test_ba_pose_recovery(rng):
         assert ang < 2e-3, (i, ang)
 
 
+def test_ba_ate_within_bound(rng):
+    """North-star metric: absolute trajectory error after BA."""
+    from sfm_tpu.utils import metrics
+
+    prob, (R_gt, t_gt, X_gt), init, _ = _make_problem(rng, perturb=0.03)
+    pre_rmse, _ = metrics.ate_rmse(init[0], init[1], R_gt, t_gt)
+    final, _ = ba.run_ba(
+        jnp.asarray(init[0]), jnp.asarray(init[1]), jnp.asarray(init[2]),
+        prob, iters=25,
+    )
+    post_rmse, _ = metrics.ate_rmse(
+        np.array(final.R), np.array(final.t), R_gt, t_gt
+    )
+    # f32 BA at observation noise 5e-4 rad: ~20x ATE reduction, landing
+    # at the noise/gauge floor (~0.1% of the trajectory span).
+    assert post_rmse < 0.1 * max(pre_rmse, 1e-9), (pre_rmse, post_rmse)
+    assert post_rmse < 3e-3
+
+
 def test_ba_robust_to_outliers(rng):
     prob, (R_gt, t_gt, X_gt), init, _ = _make_problem(rng, outliers=50)
     final, _ = ba.run_ba(
