@@ -125,7 +125,7 @@ def ransac_essential(
         r = epipolar.epipolar_residuals(E, x1, x2)
         w = ((r < threshold) & mask).astype(x1.dtype)
         G = jnp.einsum("ni,n,nj->ij", A_all, w, A_all)
-        e = linalg.smallest_eigvec(G, sweeps=sweeps)
+        e = linalg.smallest_eigvec_power(G)
         E_new = linalg.project_to_essential(
             epipolar.denormalize_E(e.reshape(3, 3), T1, T2), sweeps=sweeps
         )

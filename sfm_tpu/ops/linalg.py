@@ -135,6 +135,29 @@ def gram_nullvec(A, *, sweeps: int = 10):
     return smallest_eigvec(G, sweeps=sweeps)
 
 
+def smallest_eigvec_power(G, *, iters: int = 5):
+    """Smallest eigenvector of a symmetric PSD matrix via ridge inverse
+    iteration.
+
+    For a SINGLE small matrix the fixed-sweep Jacobi unrolls to ~360
+    sequential tiny ops (latency-bound on TPU); this is a handful of
+    n x n solves.  Convergence ratio (lam_min + eps)/(lam_2 + eps) is
+    tiny for the near-null-space systems it serves (all-inlier
+    least-squares polish).
+    """
+    n = G.shape[-1]
+    eps = jnp.trace(G) / n * 1e-7 + 1e-20
+    A = G + eps * jnp.eye(n, dtype=G.dtype)
+    v0 = jnp.ones((n,), G.dtype) / jnp.sqrt(jnp.asarray(n, G.dtype))
+
+    def body(v, _):
+        w = jnp.linalg.solve(A, v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30), None
+
+    v, _ = jax.lax.scan(body, v0, None, length=iters)
+    return v
+
+
 def qr_nullvec(A):
     """Exact null vector of [..., m, n] systems with m < n via QR.
 
