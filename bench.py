@@ -65,14 +65,24 @@ def main():
     # tunnel to the TPU has a ~28.5 ms round-trip latency per synced
     # call (measured: a trivial add costs the same as a 17-GFLOP
     # matmul); chaining amortizes it away, matching the production
-    # pattern of streaming frame pairs.
+    # pattern of streaming frame pairs.  The single relay round-trip of
+    # the final scalar read is measured in-process and subtracted per
+    # the project measurement convention (CLAUDE.md).
+    one = jnp.float32(1.0) + 0.0
+    _ = float(one)
+    rtt = float("inf")
+    for i in range(5):
+        t0 = time.time()
+        _ = float(one + jnp.float32(i))  # trivial dispatch + D2H sync
+        rtt = min(rtt, (time.time() - t0) * 1000.0)
+    log(f"relay rtt: {rtt:.1f} ms")
     N = 10
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         outs = [run(i).reproj_err for i in range(N)]
         _ = float(sum(outs))
-        best = min(best, (time.time() - t0) * 1000.0 / N)
+        best = min(best, max(0.0, (time.time() - t0) * 1000.0 - rtt) / N)
     ms = best
 
     baseline_ms = 47.0

@@ -58,18 +58,27 @@ bool parse_pnm(const unsigned char* buf, size_t n, PnmHeader* hdr) {
   if (!(p = pnm_token(p, end, &hdr->h))) return false;
   if (!(p = pnm_token(p, end, &hdr->maxval))) return false;
   if (p >= end || hdr->maxval <= 0 || hdr->maxval > 65535) return false;
+  // Dimension sanity bounds: with w, h <= 2^20 the byte count below
+  // (<= 2^40 * 6) cannot wrap size_t, so crafted headers cannot
+  // undersize `need`.
+  if (hdr->w <= 0 || hdr->h <= 0 || hdr->w > (1L << 20) || hdr->h > (1L << 20))
+    return false;
   hdr->data = p + 1;  // single whitespace after maxval
-  size_t need = (size_t)hdr->w * hdr->h * hdr->channels *
+  size_t need = (size_t)hdr->w * (size_t)hdr->h * (size_t)hdr->channels *
                 (hdr->maxval > 255 ? 2 : 1);
   return (size_t)(end - hdr->data) >= need;
 }
 
 // Decode one PNM buffer into float32 grayscale 0..255 (BT.601 weights,
 // matching OpenCV's IMREAD_GRAYSCALE used by the reference).
+// `expect_w`/`expect_h` > 0 bound the caller's `out` buffer: decoding
+// refuses (before writing a single float) if the header dims differ,
+// closing the probe-vs-decode TOCTOU the r1 advisor flagged.
 bool decode_gray(const unsigned char* buf, size_t n, float* out, long* w,
-                 long* h) {
+                 long* h, long expect_w, long expect_h) {
   PnmHeader hd;
   if (!parse_pnm(buf, n, &hd)) return false;
+  if (expect_w > 0 && (hd.w != expect_w || hd.h != expect_h)) return false;
   *w = hd.w;
   *h = hd.h;
   const size_t npix = (size_t)hd.w * hd.h;
@@ -135,12 +144,14 @@ int sfm_pnm_size(const char* path, long* w, long* h) {
 }
 
 // Decode one image to float32 grayscale [h, w] (row-major, 0..255).
-// `out` must hold w*h floats (probe with sfm_pnm_size).  Returns 0 on
-// success.
+// `out` must hold (*w) * (*h) floats; the caller's probed dims are
+// read IN via *w/*h and enforced before any write (the file may have
+// changed since the probe).  Pass *w = 0 to accept any size at the
+// caller's risk.  Returns 0 on success.
 int sfm_load_gray(const char* path, float* out, long* w, long* h) {
   std::vector<unsigned char> buf;
   if (!read_file(path, &buf)) return 1;
-  return decode_gray(buf.data(), buf.size(), out, w, h) ? 0 : 2;
+  return decode_gray(buf.data(), buf.size(), out, w, h, *w, *h) ? 0 : 2;
 }
 
 // Decode a batch of same-sized images in parallel into one contiguous
@@ -162,9 +173,12 @@ int sfm_load_gray_batch(const char** paths, int n, float* out, long w, long h,
       long gw = 0, gh = 0;
       buf.clear();
       if (!read_file(paths[i], &buf)) continue;
-      if (!decode_gray(buf.data(), buf.size(), out + stride * i, &gw, &gh))
+      // decode_gray enforces gw == w && gh == h BEFORE writing, so a
+      // batch containing a larger image cannot overflow its slot.
+      if (!decode_gray(buf.data(), buf.size(), out + stride * i, &gw, &gh,
+                       w, h))
         continue;
-      if (gw == w && gh == h) ok.fetch_add(1);
+      ok.fetch_add(1);
     }
   };
   std::vector<std::thread> threads;

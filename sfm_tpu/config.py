@@ -31,11 +31,6 @@ class SiftConfig:
     # isolation but 7x SLOWER when fused into the frontend program
     # (r1 measurement: +31 ms vs +4 ms for the exact sort).
     exact_topk: bool = True
-    # Run blur/NMS once over the packed octave atlas (2 conv calls)
-    # instead of per octave (10 calls).  Counter-intuitively the
-    # per-octave variant benches FASTER on the v5e backend (64 vs 84
-    # ms/pair); kept as an option pending XLA behavior changes.
-    atlas_fused_dense: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -144,6 +144,8 @@ def ransac_pnp(
     n_hyps: int = 512,
     threshold: float = 4e-6,
     refine_iters: int = 8,
+    R_init=None,
+    t_init=None,
 ) -> PnPResult:
     """Robust PnP from [N, 3] normalized obs and [N, 3] world points."""
     n = x.shape[0]
@@ -159,13 +161,11 @@ def ransac_pnp(
     scale3 = jnp.maximum(scale3, 1e-3)
     Xn = (X - c3) / scale3
 
-    # Sample minimal 6-point sets among valid correspondences.
-    from sfm_tpu.ops.compact import compaction_order
+    # Sample minimal 6-point sets (distinct indices; Floyd sampling
+    # shared with the essential-matrix RANSAC).
+    from sfm_tpu.geometry.ransac import sample_minimal_sets
 
-    order = compaction_order(mask)
-    n_valid = jnp.maximum(jnp.sum(mask), 1)
-    draw = jax.random.randint(key, (n_hyps, 6), 0, jnp.asarray(n, jnp.int32))
-    idx = order[draw % n_valid]
+    idx = sample_minimal_sets(key, mask, n_hyps, k=6)
 
     R_bank, t_bank = pnp_dlt(x[idx], Xn[idx])
     r = reprojection_residuals(R_bank, t_bank, x, Xn)  # [H, N]
@@ -173,19 +173,48 @@ def ransac_pnp(
     best = jnp.argmax(counts)
     R0, t0 = R_bank[best], t_bank[best]
 
+    # Optional externally-seeded hypothesis (e.g. the previous frame's
+    # pose in incremental SfM): minimal 6-point DLT sets are unstable
+    # on shallow/far geometry, and a motion prior is frequently better
+    # than every sampled hypothesis.  Compared at a WIDE gate so an
+    # approximately-right prior can win the LO start even when its
+    # strict-inlier count is small.
+    if R_init is not None:
+        t_cond = (R_init @ c3 + t_init) / scale3  # conditioned frame
+        r_init = reprojection_residuals(R_init, t_cond, x, Xn)
+        wide = threshold * 16
+        c_init = jnp.sum((r_init < wide) & mask)
+        c_best = jnp.sum(
+            (reprojection_residuals(R0, t0, x, Xn) < wide) & mask
+        )
+        take = c_init > c_best
+        R0 = jnp.where(take, R_init, R0)
+        t0 = jnp.where(take, t_cond, t0)
+
     # LO-RANSAC: iterate (all-inlier DLT refit -> GN polish -> recount),
     # keeping the best model so far.  A single polish round left PnP at
     # the mercy of the minimal-sample draw (r1: 30..159 inliers across
     # seeds on the same dino problem); three rounds converge reliably.
-    def lo_round(carry, _):
+    def lo_round(carry, gate_mult):
         R_best, t_best, c_best = carry
         r_cur = reprojection_residuals(R_best, t_best, x, Xn)
-        w = ((r_cur < threshold * 4) & mask).astype(x.dtype)
-        R1, t1 = pnp_dlt(x, Xn, weights=w)
-        R1, t1 = refine_pose(R1, t1, x, Xn, w, iters=refine_iters)
+        w = ((r_cur < threshold * gate_mult) & mask).astype(x.dtype)
+        # GN-polish the CURRENT model on its wide-gate support, then
+        # DLT-refit from scratch on the same support; keep whichever
+        # (or the incumbent) scores most strict inliers.
+        R1, t1 = refine_pose(R_best, t_best, x, Xn, w, iters=refine_iters)
+        R2, t2 = pnp_dlt(x, Xn, weights=w)
+        R2, t2 = refine_pose(R2, t2, x, Xn, w, iters=refine_iters)
         c1 = jnp.sum(
             (reprojection_residuals(R1, t1, x, Xn) < threshold) & mask
         ).astype(jnp.int32)
+        c2 = jnp.sum(
+            (reprojection_residuals(R2, t2, x, Xn) < threshold) & mask
+        ).astype(jnp.int32)
+        take2 = c2 >= c1
+        R1 = jnp.where(take2, R2, R1)
+        t1 = jnp.where(take2, t2, t1)
+        c1 = jnp.maximum(c1, c2)
         better = c1 > c_best
         return (
             jnp.where(better, R1, R_best),
@@ -196,7 +225,10 @@ def ransac_pnp(
     c0 = jnp.sum(
         (reprojection_residuals(R0, t0, x, Xn) < threshold) & mask
     ).astype(jnp.int32)
-    (Rf, tf, _), _ = jax.lax.scan(lo_round, (R0, t0, c0), None, length=3)
+    # Annealed gates: a wide first round lets an approximate start
+    # capture its support before the tighter rounds converge it.
+    gates = jnp.asarray([16.0, 4.0, 4.0], x.dtype)
+    (Rf, tf, _), _ = jax.lax.scan(lo_round, (R0, t0, c0), gates)
 
     r_fin = reprojection_residuals(Rf, tf, x, Xn)
     inl = (r_fin < threshold) & mask

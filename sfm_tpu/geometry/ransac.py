@@ -36,22 +36,30 @@ class RansacResult(NamedTuple):
     counts: jax.Array     # [R] per-hypothesis inlier counts
 
 
-def sample_minimal_sets(key, mask, n_hyps: int):
-    """Sample [n_hyps, 8] indices of valid correspondences.
+def sample_minimal_sets(key, mask, n_hyps: int, k: int = 8):
+    """Sample [n_hyps, k] DISTINCT indices of valid correspondences.
 
     Valid indices are compacted to the front (stable sort on ~mask) and
-    drawn uniformly with replacement across hypotheses — the within-set
-    collision probability is negligible for N >> 8 and a degenerate set
-    only wastes its own hypothesis slot.
+    k distinct positions among the first n_valid are drawn per
+    hypothesis with Floyd's algorithm (uniform without replacement, k
+    fixed iterations, vectorized over the bank) — duplicate indices
+    inside a minimal set would make the 8x9 system rank-deficient and
+    silently waste the hypothesis slot.
     """
-    n = mask.shape[0]
     from sfm_tpu.ops.compact import compaction_order
 
     order = compaction_order(mask)  # valid indices first
-    n_valid = jnp.maximum(jnp.sum(mask), 1)
-    draw = jax.random.randint(key, (n_hyps, 8), 0, jnp.asarray(n, jnp.int32))
-    draw = draw % n_valid
-    return order[draw]
+    n_valid = jnp.maximum(jnp.sum(mask).astype(jnp.int32), k)
+    keys = jax.random.split(key, k)
+    sel = jnp.zeros((n_hyps, k), jnp.int32)
+    for m in range(k):
+        j = n_valid - k + m  # draw t uniform in [0, j]
+        t = jax.random.randint(keys[m], (n_hyps,), 0, j + 1)
+        dup = jnp.any(sel[:, :m] == t[:, None], axis=1) if m else jnp.zeros(
+            (n_hyps,), bool
+        )
+        sel = sel.at[:, m].set(jnp.where(dup, j, t))
+    return order[sel]
 
 
 def _count_chunk(E_chunk, x1, x2, mask, threshold):

@@ -134,32 +134,151 @@ def _inv3x3(A):
     return adj / det[..., None, None]
 
 
-def normal_equation_blocks(R, t, X, problem: BAProblem, huber_delta, n_cams, n_pts):
-    """Assemble masked robust GN blocks.
+def weighted_system(R, t, X, problem: BAProblem, huber_delta, n_cams, n_pts):
+    """Robust-weighted GN system pieces shared by both solvers.
 
-    Returns (U [M,6,6], V [P,3,3], Wg [P,M,6,3] grouped cross blocks,
-    gc [M,6], gp [P,3], cost).
+    Returns (U [M,6,6], V [P,3,3], gc [M,6], gp [P,3],
+    Jc_w [O,2,6] (Huber-weighted camera Jacobians), Jc, Jp, r, w).
     """
     r, Jc, Jp = _obs_jacobians(R, t, X, problem)
     w = _huber_w(jnp.sum(r * r, axis=-1), huber_delta) * problem.mask
     Jc_w = Jc * w[:, None, None]
+    Jp_w = Jp * w[:, None, None]
     U = jnp.zeros((n_cams, 6, 6), R.dtype).at[problem.cam_idx].add(
         jnp.einsum("oai,oaj->oij", Jc_w, Jc)
     )
     V = jnp.zeros((n_pts, 3, 3), R.dtype).at[problem.pt_idx].add(
-        jnp.einsum("oai,oaj->oij", Jp * w[:, None, None], Jp)
+        jnp.einsum("oai,oaj->oij", Jp_w, Jp)
+    )
+    gc = jnp.zeros((n_cams, 6), R.dtype).at[problem.cam_idx].add(
+        jnp.einsum("oai,oa->oi", Jc_w, r)
+    )
+    gp = jnp.zeros((n_pts, 3), R.dtype).at[problem.pt_idx].add(
+        jnp.einsum("oai,oa->oi", Jp_w, r)
+    )
+    return U, V, gc, gp, Jc_w, Jc, Jp, r, w
+
+
+def normal_equation_blocks(R, t, X, problem: BAProblem, huber_delta, n_cams, n_pts):
+    """Assemble masked robust GN blocks (dense path, small M).
+
+    Returns (U [M,6,6], V [P,3,3], Wg [P,M,6,3] grouped cross blocks,
+    gc [M,6], gp [P,3]).  Wg is dense in M — use the CG path
+    (schur_solve_cg) beyond ~16 cameras.
+    """
+    U, V, gc, gp, Jc_w, _, Jp, _, _ = weighted_system(
+        R, t, X, problem, huber_delta, n_cams, n_pts
     )
     W_obs = jnp.einsum("oai,oaj->oij", Jc_w, Jp)  # [O, 6, 3]
     Wg = jnp.zeros((n_pts, n_cams, 6, 3), R.dtype).at[
         problem.pt_idx, problem.cam_idx
     ].add(W_obs)
-    gc = jnp.zeros((n_cams, 6), R.dtype).at[problem.cam_idx].add(
-        jnp.einsum("oai,oa->oi", Jc_w, r)
-    )
-    gp = jnp.zeros((n_pts, 3), R.dtype).at[problem.pt_idx].add(
-        jnp.einsum("oai,oa->oi", Jp * w[:, None, None], r)
-    )
     return U, V, Wg, gc, gp
+
+
+def _damped(U, V, lam):
+    """LM damping (multiplicative on diagonals + small absolute floor)."""
+    dt = U.dtype
+    dU = U + (lam * jnp.eye(6, dtype=dt))[None] * (
+        jnp.trace(U, axis1=-2, axis2=-1)[:, None, None] / 6.0 + 1e-6
+    )
+    dV = V + (lam * jnp.eye(3, dtype=dt))[None] * (
+        jnp.trace(V, axis1=-2, axis2=-1)[:, None, None] / 3.0 + 1e-6
+    )
+    return dU, dV
+
+
+def schur_solve_cg(
+    U, V, Jc_w, Jp, r, w, problem: BAProblem, gc, gp, lam, fixed,
+    *, cg_iters: int = 32, psum_axis: str | None = None,
+):
+    """Matrix-free damped Schur solve via preconditioned CG.
+
+    Never materializes S (the dense path's [M,6,M,6]) or the grouped
+    cross blocks Wg (the dense path's [P,M,6,3]): every S-product is
+    two observation-space einsums + segment adds, so memory is
+    O(O*2*9) and compute is O(O) per CG step — this is what lets BA
+    run at hundreds of cameras / 100k points on one chip and shard by
+    observations across a mesh (pass `psum_axis` inside shard_map; the
+    segment sums then reduce over ICI with two psums per matvec,
+    O(P*3 + M*6) bytes instead of the dense path's O(M^2*36)).
+
+    Gauge handling matches the dense path: fixed cameras get identity
+    rows (delta forced to 0).  Returns (delta_cam [M,6], delta_pt [P,3]).
+    """
+    M = U.shape[0]
+    dt = U.dtype
+    dU, dV = _damped(U, V, lam)
+    Vinv = _inv3x3(dV)  # [P,3,3]
+    free = (~fixed).astype(dt)  # [M]
+    cam = problem.cam_idx
+    pt = problem.pt_idx
+    n_pts = V.shape[0]
+    Jp_w = Jp * w[:, None, None]
+
+    def seg_pt(vals):  # [O,3] -> [P,3]
+        out = jnp.zeros((n_pts, 3), dt).at[pt].add(vals)
+        if psum_axis is not None:
+            out = jax.lax.psum(out, psum_axis)
+        return out
+
+    def seg_cam(vals):  # [O,6] -> [M,6]
+        out = jnp.zeros((M, 6), dt).at[cam].add(vals)
+        if psum_axis is not None:
+            out = jax.lax.psum(out, psum_axis)
+        return out
+
+    def WT_v(v):  # [M,6] -> [P,3]   (W^T v, W_o = Jc_w^T Jp)
+        a = jnp.einsum("oai,oi->oa", Jc_w, v[cam])  # [O,2]
+        return seg_pt(jnp.einsum("oaj,oa->oj", Jp, a))
+
+    def W_z(z):  # [P,3] -> [M,6]
+        c = jnp.einsum("oaj,oj->oa", Jp, z[pt])     # [O,2]
+        return seg_cam(jnp.einsum("oai,oa->oi", Jc_w, c))
+
+    def S_mul(v):
+        v = v * free[:, None]
+        y = WT_v(v)
+        z = jnp.einsum("pxy,py->px", Vinv, y)
+        out = jnp.einsum("mij,mj->mi", dU, v) - W_z(z)
+        # Identity rows for fixed cameras keep S positive definite.
+        return out * free[:, None] + v * (1.0 - free)[:, None]
+
+    # rhs = gc - W Vinv gp  (gauge rows zeroed)
+    rhs = (gc - W_z(jnp.einsum("pxy,py->px", Vinv, gp))) * free[:, None]
+
+    # Block-Jacobi preconditioner from the damped camera blocks.
+    Uinv = jnp.linalg.inv(
+        dU + jnp.eye(6, dtype=dt)[None] * 1e-8
+    )
+
+    def precond(v):
+        return jnp.einsum("mij,mj->mi", Uinv, v) * free[:, None]
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs  # S x0 = 0
+    z0 = precond(r0)
+
+    def cg_step(carry, _):
+        x, rr, z, p, rz = carry
+        Sp = S_mul(p)
+        pSp = jnp.sum(p * Sp)
+        alpha = rz / jnp.where(jnp.abs(pSp) < 1e-30, 1e-30, pSp)
+        x_n = x + alpha * p
+        r_n = rr - alpha * Sp
+        z_n = precond(r_n)
+        rz_n = jnp.sum(r_n * z_n)
+        beta = rz_n / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        p_n = z_n + beta * p
+        return (x_n, r_n, z_n, p_n, rz_n), None
+
+    init = (x0, r0, z0, z0, jnp.sum(r0 * z0))
+    (xc, *_), _ = jax.lax.scan(cg_step, init, None, length=cg_iters)
+    delta_c = -xc * free[:, None]
+    # Back-substitute points: dp = -Vinv (gp + W^T dc).
+    Wtdc = WT_v(delta_c)
+    delta_p = -jnp.einsum("pxy,py->px", Vinv, gp + Wtdc)
+    return delta_c, delta_p
 
 
 def schur_solve(U, V, Wg, gc, gp, lam, fixed):
@@ -169,13 +288,7 @@ def schur_solve(U, V, Wg, gc, gp, lam, fixed):
     """
     M = U.shape[0]
     dt = U.dtype
-    # LM damping (multiplicative on diagonals + small absolute floor).
-    dU = U + (lam * jnp.eye(6, dtype=dt))[None] * (
-        jnp.trace(U, axis1=-2, axis2=-1)[:, None, None] / 6.0 + 1e-6
-    )
-    dV = V + (lam * jnp.eye(3, dtype=dt))[None] * (
-        jnp.trace(V, axis1=-2, axis2=-1)[:, None, None] / 3.0 + 1e-6
-    )
+    dU, dV = _damped(U, V, lam)
     Vinv = _inv3x3(dV)                                   # [P,3,3]
     Bv = jnp.einsum("pmix,pxy->pmiy", Wg, Vinv)          # [P,M,6,3]
     # S = blockdiag(dU) - sum_p Bv W^T   -> [M,6,M,6]
@@ -205,7 +318,9 @@ def _apply(R, t, X, delta_c, delta_p):
     return Rn, tn, Xn
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "huber_delta"))
+@functools.partial(
+    jax.jit, static_argnames=("iters", "huber_delta", "solver", "cg_iters")
+)
 def run_ba(
     R,
     t,
@@ -215,18 +330,37 @@ def run_ba(
     iters: int = 20,
     huber_delta: float = 3e-3,
     init_lam: float = 1e-3,
+    solver: str = "auto",
+    cg_iters: int = 32,
 ):
-    """LM bundle adjustment; returns final BAState and per-iter costs."""
+    """LM bundle adjustment; returns final BAState and per-iter costs.
+
+    solver: "dense" (exact [6M,6M] Schur solve — small M only),
+    "cg" (matrix-free preconditioned CG on the Schur complement —
+    scales to hundreds of cameras / 100k+ points), or "auto"
+    (dense for M <= 16).
+    """
     n_cams = R.shape[0]
     n_pts = X.shape[0]
+    if solver == "auto":
+        solver = "dense" if n_cams <= 16 else "cg"
     c0 = robust_cost(R, t, X, problem, huber_delta)
 
     def step(state: BAState, _):
         R, t, X, lam, cost = state
-        U, V, Wg, gc, gp = normal_equation_blocks(
-            R, t, X, problem, huber_delta, n_cams, n_pts
-        )
-        dc, dp = schur_solve(U, V, Wg, gc, gp, lam, problem.fixed)
+        if solver == "dense":
+            U, V, Wg, gc, gp = normal_equation_blocks(
+                R, t, X, problem, huber_delta, n_cams, n_pts
+            )
+            dc, dp = schur_solve(U, V, Wg, gc, gp, lam, problem.fixed)
+        else:
+            U, V, gc, gp, Jc_w, _, Jp, r, w = weighted_system(
+                R, t, X, problem, huber_delta, n_cams, n_pts
+            )
+            dc, dp = schur_solve_cg(
+                U, V, Jc_w, Jp, r, w, problem, gc, gp, lam, problem.fixed,
+                cg_iters=cg_iters,
+            )
         Rn, tn, Xn = _apply(R, t, X, dc, dp)
         c_new = robust_cost(Rn, tn, Xn, problem, huber_delta)
         ok = c_new < cost

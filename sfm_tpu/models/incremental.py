@@ -119,9 +119,14 @@ def _register_image(
         x_pnp, X_pnp, m_pnp = x_obs, X_corr, corr_mask
 
     rc = cfg.ransac
+    # The previous frame's pose seeds the hypothesis set: on shallow
+    # far-field geometry (turntable data) it routinely beats every
+    # minimal 6-point DLT sample (r1: PnP spread 3..247 inliers across
+    # seeds on the same problem; with the prior it is stable).
     res = pnp.ransac_pnp(
         key, x_pnp, X_pnp, m_pnp,
         n_hyps=rc.n_hyps, threshold=rc.threshold * 4,
+        R_init=state.R[prev_idx], t_init=state.t[prev_idx],
     )
     R_new, t_new = res.R, res.t
     ok_pose = res.num_inliers >= 12
@@ -201,6 +206,8 @@ def run_incremental(
     seed: int = 0,
     pt_capacity: int | None = None,
     ba_iters: int = 20,
+    local_ba_iters: int = 5,
+    local_ba_window: int = 5,
 ):
     """Full incremental reconstruction over a list of [H, W] images."""
     n_images = len(images)
@@ -282,6 +289,22 @@ def run_incremental(
             prev2_idx=i - 2, x_prev2=x_norm[i - 2],
             match2_idx=m2.index, match2_ok=ok2,
         )
+        # Windowed local BA after each registration: polish the last
+        # `local_ba_window` poses + map against ALL their observations.
+        # Early-pair drift (small-baseline bootstrap noise) otherwise
+        # contaminates every later PnP registration — r1's admitted
+        # fragility.  Shapes are identical each frame, so this reuses
+        # one compiled program; `fixed` pins cameras outside the window
+        # (and camera 0) for gauge and scale.
+        if local_ba_iters:
+            problem_i = build_ba_problem(state, uv_all, kp_valid, K_inv)
+            idx = jnp.arange(n_images)
+            fixed_i = problem_i.fixed | (idx < i - local_ba_window + 1)
+            st_i, _ = ba.run_ba(
+                state.R, state.t, state.X,
+                problem_i._replace(fixed=fixed_i), iters=local_ba_iters,
+            )
+            state = state._replace(R=st_i.R, t=st_i.t, X=st_i.X)
 
     # --- global bundle adjustment with one outlier-pruning round ---
     problem = build_ba_problem(state, uv_all, kp_valid, K_inv)

@@ -202,6 +202,9 @@ def _make_descriptor_kernel(block_k: int):
     def kernel(count_ref, x0_ref, y0_ref, fx_ref, fy_ref, ca_ref, sa_ref,
                sc_ref, img_ref, w2d_ref, wsp_ref, out_ref):
         kb = pl.program_id(0)
+        # Zero the whole block first: slots past `count` must not leave
+        # uninitialized VMEM in the output (0 * NaN = NaN downstream).
+        out_ref[:, :] = jnp.zeros_like(out_ref)
         for k in range(block_k):
             i = kb * block_k + k
 
@@ -290,6 +293,8 @@ def _make_orientation_kernel(block_k: int):
     def kernel(count_ref, x0_ref, y0_ref, fx_ref, fy_ref, is_ref, img_ref,
                out_ref):
         kb = pl.program_id(0)
+        # Zero-fill first so i >= count slots never expose stale VMEM.
+        out_ref[:, :] = jnp.zeros_like(out_ref)
         for k in range(block_k):
             i = kb * block_k + k
 

@@ -157,63 +157,6 @@ def _refine_dense(dog, n_scales: int):
     return jnp.stack([pdx, pdy, pds, val + dval, edge])  # [5, S, H, W]
 
 
-def detect_atlas(dog, interior_mask, spans, cfg: SiftConfig):
-    """Detection over an octave ATLAS (see frontend._detect_impl).
-
-    dog: [S+2, Ha, W0] DoG planes of the packed atlas;
-    interior_mask: [Ha, W0] static per-octave interior (excludes
-    guards, horizontal padding, and 1-px borders);
-    spans: [(row0, H_o, W_o)] per octave.
-
-    Returns a list of Detections per octave with ATLAS-frame (x, y).
-    One NMS + one dense refinement serve every octave; only the cheap
-    top-k and 5-value gathers run per octave.
-    """
-    S = cfg.num_scales
-    K = cfg.max_pts_per_octave
-    _, Ha, W0 = dog.shape
-    center, maxv, minv = _neighbor_extrema(dog, S)
-    thresh = jnp.float32(cfg.thresh)
-    is_max = center > jnp.maximum(thresh, maxv)
-    is_min = center < jnp.minimum(-thresh, minv)
-    cand = (is_max | is_min) & interior_mask[None]
-
-    refined = _refine_dense(dog, S)  # [5, S, Ha, W0]
-    edge_d = refined[4]
-    edge_ok = (edge_d > 0.0) & (edge_d < cfg.edge_limit)
-    cand = cand & edge_ok
-    response = jnp.where(cand, jnp.abs(center), -1.0)
-
-    dets = []
-    for row0, H_o, W_o in spans:
-        resp_o = response[:, row0 : row0 + H_o, :]
-        flat = resp_o.reshape(-1)
-        if cfg.exact_topk:
-            scores, flat_idx = jax.lax.top_k(flat, K)
-        else:
-            scores, flat_idx = jax.lax.approx_max_k(flat, K)
-        s_idx = flat_idx // (H_o * W0)
-        rem = flat_idx % (H_o * W0)
-        y_loc = rem // W0
-        x_idx = rem % W0
-        valid = scores > 0.0
-        ref_o = refined[:, :, row0 : row0 + H_o, :].reshape(5, -1)
-        vals = jnp.take(ref_o, flat_idx, axis=1)
-        pdx, pdy, pds, sharp, edge = vals
-        scale = jnp.exp2((s_idx.astype(jnp.float32) + pds) / S)
-        dets.append(
-            Detections(
-                x=x_idx.astype(jnp.float32) + pdx,
-                y=(y_loc + row0).astype(jnp.float32) + pdy,
-                scale=scale,
-                sharpness=sharp,
-                edgeness=edge,
-                valid=valid,
-            )
-        )
-    return dets
-
-
 def detect(dog, cfg: SiftConfig, subsampling: float) -> Detections:
     """Detect up to max_pts_per_octave keypoints in one octave's DoG."""
     S = cfg.num_scales

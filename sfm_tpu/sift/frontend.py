@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.config import SiftConfig
-from sfm_tpu.ops import image as imops
 from sfm_tpu.ops.compact import compaction_order
 from sfm_tpu.sift import pyramid, detect as detect_mod, orient, describe
 
@@ -130,73 +129,22 @@ def atlas_layout(shape, cfg: SiftConfig):
     return tuple(offsets), tuple(subs)
 
 
-def _atlas_masks(shape, cfg: SiftConfig):
-    """Static per-octave interior mask + row spans for the atlas.
-
-    Returns (mask [Ha, W0] bool numpy, spans list of (row0, rows, W_o)).
-    Guards and horizontal replicate-padding are excluded from detection
-    (matching the per-octave 1-px border exclusion).
-    """
-    import numpy as np
-
-    offsets, subs = atlas_layout(shape, cfg)
-    H, W = shape
-    if cfg.up_scale:
-        H, W = 2 * H, 2 * W
-    W0 = W
-    spans = []
-    total = 0
-    h, w = H, W
-    for o in range(cfg.num_octaves):
-        spans.append((offsets[o], h, w))
-        total = offsets[o] + h + _GUARD
-        h, w = h // 2, w // 2
-    mask = np.zeros((total, W0), bool)
-    for row0, hh, ww in spans:
-        mask[row0 + 1 : row0 + hh - 1, 1 : ww - 1] = True
-    return mask, spans
-
-
 def _detect_impl(img, cfg: SiftConfig):
-    """Atlas-fused dense stage: ONE blur bank + ONE NMS over all
-    octaves packed into the guarded atlas (guard bands double as the
-    convolution halo; horizontal edge-replicate padding reproduces the
-    reference's clamp boundary, cudaSiftH.cu:186-205 texture clamp).
+    """Per-octave dense stage (pyramid + NMS); detections shifted into
+    atlas-frame coordinates for the shared sampling kernels.
 
-    Semantics note: octaves >= 1 share the converged base-blur constant
-    (0.2886) instead of each octave's exact accumulated value (0.25,
-    0.2795, ...); the resulting blur sigmas differ by < 0.5% — far
-    below the reference's own kernel-truncation error.
+    A fully atlas-fused variant (ONE blur bank + ONE NMS over the
+    packed atlas) was built and A/B-tested in r1: it benched SLOWER on
+    the v5e backend (81 vs 61 ms/pair) and diverged semantically (deep
+    octaves shared one blur bank, no lowest_scale gate), so the fork
+    was removed in r2 — one detection path only.
     """
-    if not cfg.atlas_fused_dense:
-        # Per-octave dense path (current perf winner on this backend);
-        # detections shifted into atlas-frame coordinates.
-        octaves = pyramid.build_pyramid(img, cfg)
-        atlas, offsets = _build_atlas([o.base for o in octaves])
-        dets = []
-        for oct_, off in zip(octaves, offsets):
-            d = detect_mod.detect(oct_.dog, cfg, oct_.subsampling)
-            dets.append(d._replace(y=d.y + off))
-        return atlas, dets
-
-    bases = pyramid.build_octave_bases(img, cfg)
-    atlas, _ = _build_atlas(bases)
-    mask_np, spans = _atlas_masks(img.shape, cfg)
-
-    # Two blur banks: octave 0 (base blur 0) and the shared deep bank.
-    row_split = spans[1][0] - _GUARD if cfg.num_octaves > 1 else atlas.shape[0]
-    bank0 = pyramid.octave_kernel_bank(cfg, 0)
-    dog_parts = []
-    top = imops.blur_bank(atlas[:row_split], bank0)
-    dog_parts.append(top[1:] - top[:-1])
-    if cfg.num_octaves > 1:
-        deep_cfg_bank = pyramid.octave_kernel_bank(cfg, cfg.num_octaves - 1)
-        rest = imops.blur_bank(atlas[row_split:], deep_cfg_bank)
-        dog_parts.append(rest[1:] - rest[:-1])
-    dog = jnp.concatenate(dog_parts, axis=1)  # [S+2, Ha, W0]
-    dog = jax.lax.optimization_barrier(dog)
-
-    dets = detect_mod.detect_atlas(dog, jnp.asarray(mask_np), spans, cfg)
+    octaves = pyramid.build_pyramid(img, cfg)
+    atlas, offsets = _build_atlas([o.base for o in octaves])
+    dets = []
+    for oct_, off in zip(octaves, offsets):
+        d = detect_mod.detect(oct_.dog, cfg, oct_.subsampling)
+        dets.append(d._replace(y=d.y + off))
     return atlas, dets
 
 

@@ -83,18 +83,6 @@ def build_octave(base, cfg: SiftConfig, octave_index: int, subsampling: float) -
     return Octave(base=base, dog=dog, subsampling=subsampling)
 
 
-def build_octave_bases(img, cfg: SiftConfig) -> list:
-    """The sequential base-image chain: lowpass then 2x decimations."""
-    if cfg.up_scale:
-        img = imops.scale_up(img)
-    base = lowpass(img, cfg)
-    bases = [base]
-    for _ in range(cfg.num_octaves - 1):
-        base = imops.scale_down(base, 0.5)
-        bases.append(base)
-    return bases
-
-
 def build_pyramid(img, cfg: SiftConfig) -> list:
     """Full pyramid: list of Octave, finest (subsampling=1) first.
 

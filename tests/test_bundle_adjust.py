@@ -137,3 +137,69 @@ def test_ba_masked_observations_ignored(rng):
     r = np.array(ba._residuals(final.R, final.t, final.X, prob2))
     rms = np.sqrt((r ** 2).sum(1)[n // 2 :].mean())
     assert rms < 5e-3
+
+
+def test_ba_cg_matches_dense():
+    # The matrix-free CG Schur solver must land at the same optimum as
+    # the exact dense solve on a problem small enough for both.
+    rng = np.random.default_rng(3)
+    prob, gt, init, noise = _make_problem(rng, M=6, P=150, perturb=0.03)
+    args = (jnp.asarray(init[0]), jnp.asarray(init[1]), jnp.asarray(init[2]))
+    fd, cd = ba.run_ba(*args, prob, iters=20, solver="dense")
+    fc, cc = ba.run_ba(*args, prob, iters=20, solver="cg", cg_iters=40)
+    assert float(cc[-1]) < float(cd[0]) * 0.05
+    assert float(cc[-1]) < float(cd[-1]) * 1.2 + 1e-9
+    for i in range(1, 6):
+        dR = np.array(fc.R[i]) @ np.array(fd.R[i]).T
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        assert ang < 2e-3, (i, ang)
+
+
+def test_ba_cg_scales_to_many_cameras():
+    # M=50 cameras / 5000 points / 30k observations: the dense path
+    # would materialize Wg [5000,50,6,3] (~18 MB) and S [300,300];
+    # the CG path touches only O(O) state.  Convergence + pose quality.
+    rng = np.random.default_rng(4)
+    M, P = 50, 5000
+    X_gt = rng.uniform([-2, -2, 4], [2, 2, 10], size=(P, 3)).astype(np.float32)
+    Rs, ts = [], []
+    for i in range(M):
+        Ri = rot([0, 1, 0], 0.02 * i) @ rot([1, 0, 0], 0.005 * i)
+        pos = np.array([0.1 * i, 0.02 * i, 0.0])
+        Rs.append(Ri)
+        ts.append(-Ri @ pos)
+    R_gt = np.stack(Rs).astype(np.float32)
+    t_gt = np.stack(ts).astype(np.float32)
+    # each camera observes a random 600-point subset
+    obs_per_cam = 600
+    cam_idx = np.repeat(np.arange(M), obs_per_cam).astype(np.int32)
+    pt_idx = np.concatenate(
+        [rng.choice(P, obs_per_cam, replace=False) for _ in range(M)]
+    ).astype(np.int32)
+    Xc = np.einsum("oij,oj->oi", R_gt[cam_idx], X_gt[pt_idx]) + t_gt[cam_idx]
+    uv = (Xc[:, :2] / Xc[:, 2:3]).astype(np.float32)
+    uv += rng.normal(scale=3e-4, size=uv.shape).astype(np.float32)
+    fixed = np.zeros(M, bool)
+    fixed[0] = True
+    prob = ba.BAProblem(
+        jnp.asarray(cam_idx), jnp.asarray(pt_idx), jnp.asarray(uv),
+        jnp.ones(len(uv), bool), jnp.asarray(fixed),
+    )
+    perturb = 0.02
+    R0 = np.stack(
+        [R_gt[i] @ rot(rng.normal(size=3), perturb if i else 0.0) for i in range(M)]
+    ).astype(np.float32)
+    t0 = (t_gt + np.where(np.arange(M)[:, None] > 0,
+                          rng.normal(scale=perturb, size=t_gt.shape), 0)
+          ).astype(np.float32)
+    X0 = (X_gt + rng.normal(scale=perturb, size=X_gt.shape)).astype(np.float32)
+    final, costs = ba.run_ba(
+        jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(X0), prob,
+        iters=15, solver="cg", cg_iters=30,
+    )
+    costs = np.array(costs)
+    assert costs[-1] < costs[0] * 0.02, costs[[0, -1]]
+    for i in range(1, M, 7):
+        dR = np.array(final.R[i]) @ R_gt[i].T
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        assert ang < 3e-3, (i, ang)

@@ -178,3 +178,23 @@ def test_depths_positive_for_true_geometry(scene):
     z2 = np.array(tri.depths(X, jnp.asarray(scene["R"]), jnp.asarray(scene["t"])))
     assert (np.array(X)[n_out:, 2] > 0).mean() > 0.95
     assert (z2[n_out:] > 0).mean() > 0.95
+
+
+def test_minimal_set_sampling_no_duplicates():
+    rng = np.random.default_rng(7)
+    # Floyd sampling: every minimal set has k distinct valid indices,
+    # even when n_valid barely exceeds k.
+    import jax
+    import jax.numpy as jnp
+    from sfm_tpu.geometry.ransac import sample_minimal_sets
+
+    for n, n_valid, k in [(64, 9, 8), (128, 128, 8), (200, 50, 6)]:
+        mask = np.zeros(n, bool)
+        mask[rng.choice(n, n_valid, replace=False)] = True
+        idx = np.array(
+            sample_minimal_sets(jax.random.PRNGKey(0), jnp.asarray(mask), 257, k=k)
+        )
+        assert idx.shape == (257, k)
+        assert mask[idx].all(), "sampled an invalid index"
+        for row in idx:
+            assert len(set(row.tolist())) == k, row

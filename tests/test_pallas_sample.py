@@ -71,3 +71,25 @@ def test_small_octave_image(rng):
     h = pallas_sample.orientation_histogram_sample(img, x, y, sc,
                                                    interpret=True, block_k=4)
     assert np.isfinite(np.array(h)).all()
+
+
+def test_partial_count_zero_fills_tail():
+    rng = np.random.default_rng(7)
+    # Slots with i >= count must come back EXACTLY zero (the kernel
+    # zero-fills its block before the count-gated writes) — r1 advisor
+    # finding: uninitialized VMEM could leak NaN garbage on real TPU.
+    img, x, y, sc, ori = _setup(rng)
+    raw = np.array(
+        pallas_sample.descriptor_sample(img, x, y, sc, ori, count=5,
+                                        interpret=True)
+    )
+    assert np.isfinite(raw).all()
+    assert (raw[5:] == 0.0).all()
+    assert np.abs(raw[:5]).sum() > 0
+    h = np.array(
+        pallas_sample.orientation_histogram_sample(img, x, y, sc, count=3,
+                                                   interpret=True)
+    )
+    assert np.isfinite(h).all()
+    assert (h[3:] == 0.0).all()
+    assert np.abs(h[:3]).sum() > 0
