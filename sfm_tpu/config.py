@@ -27,6 +27,10 @@ class SiftConfig:
     laplace_radius: int = 4      # LAPLACE_R (cudaSiftD.h:40)
     lowpass_radius: int = 4      # LOWPASS_R (cudaSiftD.h:44)
     use_pallas: bool | None = None  # None = auto (Pallas kernels on TPU)
+    # Pyramid blur as banded matmuls instead of grouped convs: the conv
+    # path is overhead-bound on TPU (~9 ms/image for ~120 MFLOP); the
+    # matmul path rides the MXU.  None = auto (matmul on TPU).
+    blur_matmul: bool | None = None
     # Exact lax.top_k by default: approx_max_k benches 5x faster in
     # isolation but 7x SLOWER when fused into the frontend program
     # (r1 measurement: +31 ms vs +4 ms for the exact sort).
@@ -40,6 +44,11 @@ class MatchConfig:
     max_ambiguity: float = 0.95  # ratio-test cutoff (ImproveHomography uses 0.95)
     min_score: float = 0.0       # min correlation of best match
     mutual: bool = False         # cross-check (not in reference)
+    # Pallas fused-top2 matcher (score matrix never leaves VMEM) with
+    # bf16 MXU tiles; None = auto (on for TPU).  bf16 score error
+    # ~4e-3 relative — argmax agreement vs f32 > 99.9% (tests).
+    use_pallas: bool | None = None
+    bf16: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -84,6 +84,60 @@ def blur_bank(img, taps_bank):
     return _sep_conv(rep, taps_bank, taps_bank)
 
 
+def band_matrix_np(n: int, taps_bank: np.ndarray) -> np.ndarray:
+    """[B, n, n] banded blur matrices with edge-clamp folding (numpy).
+
+    Row y of matrix b holds taps_bank[b] centered at y; out-of-range
+    taps accumulate onto the clamped border column, matching the
+    reference's clamp-mode texture reads.  Built host-side and embedded
+    as jit constants: building in-graph measured ~5 ms/image on TPU
+    (XLA refuses to constant-fold the multi-MB iota/select chain).
+    """
+    taps_bank = np.atleast_2d(np.asarray(taps_bank, np.float32))
+    B, K = taps_bank.shape
+    r = K // 2
+    M = np.zeros((B, n, n), np.float32)
+    rows = np.arange(n)
+    for k in range(K):
+        src = np.clip(rows + (k - r), 0, n - 1)
+        for b in range(B):
+            np.add.at(M[b], (rows, src), taps_bank[b, k])
+    return M
+
+
+@functools.lru_cache(maxsize=64)
+def _band_matrix_cached(n: int, taps_key: bytes, K: int) -> np.ndarray:
+    bank = np.frombuffer(taps_key, np.float32).reshape(-1, K)
+    return band_matrix_np(n, bank)
+
+
+def blur_bank_matmul(img, taps_bank=None, mats=None):
+    """blur_bank as two banded MATMULS: [B,H,H] @ img @ [B,W,W]^T.
+
+    On TPU the grouped-conv formulation is overhead-bound (~1.3 ms per
+    octave for ~15 MFLOP, r1 NOTES lead #1); expressing the separable
+    blur as dense banded matmuls trades ~80x redundant FLOPs for MXU
+    ops big enough to saturate — a large net win on this backend.
+    Numerically identical to blur_bank up to f32 summation order.
+
+    mats: optional (Bc [B,H,H], Br [B,W,W]) DEVICE arrays (see
+    pyramid.pyramid_band_mats).  Pass them as jit arguments rather
+    than relying on this function's host-side construction: multi-MB
+    literals baked into the HLO made remote compiles pathologically
+    slow (>15 min, r2 measurement).
+    """
+    if mats is not None:
+        Bc, Br = mats
+    else:
+        bank = np.atleast_2d(np.asarray(taps_bank, np.float32))
+        H, W = img.shape
+        key = bank.tobytes()
+        Bc = jnp.asarray(_band_matrix_cached(H, key, bank.shape[1]))
+        Br = jnp.asarray(_band_matrix_cached(W, key, bank.shape[1]))
+    tmp = jnp.einsum("bij,jw->biw", Bc, img)      # column pass
+    return jnp.einsum("bhw,bxw->bhx", tmp, Br)    # row pass
+
+
 def scale_down(img, variance: float = 0.5):
     """5-tap Gaussian blur + 2x decimation (reference ScaleDown,
     CudaSift/cudaSiftD.cu:84-168; taps from cudaSiftH.cu:315-325)."""

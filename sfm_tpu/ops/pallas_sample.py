@@ -341,6 +341,220 @@ def orientation_histogram_sample(img, x, y, scale, count=None, *,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Fused orientation + descriptor kernel (r2).
+#
+# The two-kernel pipeline (orientation_histogram_sample -> XLA peak
+# finding -> compaction -> descriptor_sample) pays the patch crop twice
+# and ~3 ms of XLA glue (concat + sort of the duplicated keypoint set)
+# between kernels.  This kernel does, per keypoint, with ONE patch:
+#   crop -> orientation histogram -> smoothing + dual-peak finding
+#   (all in-register, circulant matmuls instead of lane rolls) ->
+#   descriptor for peak 1 -> descriptor for peak 2 (gated).
+# Outputs are capacity-2K with validity masks: no second compaction.
+# ---------------------------------------------------------------------------
+
+def _smooth_peak_matrices() -> np.ndarray:
+    """[32, 96] packed circulant constants: smoothing [1,4,6,4,1],
+    roll(+1) and roll(-1) permutations (Mosaic-friendly matmuls replace
+    the lane rolls of sift.orient.smooth_histogram)."""
+    n = 32
+    M = np.zeros((n, 3 * n), np.float32)
+    taps = {0: 6.0, 1: 4.0, -1: 4.0, 2: 1.0, -2: 1.0}
+    for d, v in taps.items():
+        for i in range(n):
+            M[i, (i + d) % n] += v                # hs = smooth(h)
+            M[i, n + (i + d + 1) % n] += v        # left = roll(hs, +1)
+            M[i, 2 * n + (i + d - 1) % n] += v    # right = roll(hs, -1)
+    return M
+
+
+def _orientation_hist_from_patch(patch, fx, fy, inv2s2, P):
+    """[1, 32] histogram sampled from an existing [P+8, P] patch."""
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (484, 1), 0)
+    xd = ((s_idx % 121) % 11).astype(jnp.float32) - 5.0
+    yd = ((s_idx % 121) // 11).astype(jnp.float32) - 5.0
+    grp = s_idx // 121
+    gx = jnp.where(grp == 0, 1.0, jnp.where(grp == 1, -1.0, 0.0))
+    gy = jnp.where(grp == 2, 1.0, jnp.where(grp == 3, -1.0, 0.0))
+    vals = _sample_matmul(patch, fx + xd + gx, fy + yd + gy, P)  # [484, 1]
+    dx = vals[0:121] - vals[121:242]
+    dy = vals[242:363] - vals[363:484]
+    grad = jnp.sqrt(dx * dx + dy * dy)
+    xd0 = xd[0:121]
+    yd0 = yd[0:121]
+    w = jnp.exp(inv2s2 * (xd0 * xd0 + yd0 * yd0))
+    bins = jnp.floor(16.0 / np.pi * _atan2(dy, dx) + 16.5)
+    bins = jnp.where(bins > 31.0, 0.0, bins)
+    oh = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (121, 32), 1).astype(jnp.float32)
+        == bins,
+        1.0,
+        0.0,
+    )
+    return jnp.sum(oh * (grad * w), axis=0, keepdims=True)  # [1, 32]
+
+
+def _peak_angle(hs, idx32):
+    """Parabolic sub-bin peak -> degrees; hs [1,32], idx32 [1,1] f32."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1).astype(jnp.float32)
+    sel = lambda i: jnp.sum(jnp.where(iota == i, hs, 0.0), axis=1, keepdims=True)
+    v0 = sel(idx32)
+    vp = sel(jnp.where(idx32 + 1.0 > 31.0, idx32 - 31.0, idx32 + 1.0))
+    vm = sel(jnp.where(idx32 - 1.0 < 0.0, idx32 + 31.0, idx32 - 1.0))
+    denom = 2.0 * v0 - vp - vm
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    peak = idx32 + 0.5 * (vp - vm) / denom
+    peak = jnp.where(peak < 0.0, peak + 32.0, peak)
+    return 11.25 * peak  # [1,1] degrees
+
+
+def _descriptor_from_patch(patch, w2d_ref, wsp_ref, fx, fy, cosa, sina, scale):
+    """[1, 128] raw descriptor from an existing patch; cosa/sina may be
+    [1,1] arrays (broadcast into the [1024,1] coordinate columns)."""
+    sc = (12.0 / 16.0) * scale
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (1024, 1), 0)
+    i_f = (s_idx % 16).astype(jnp.float32) - 7.5
+    j_f = ((s_idx // 16) % 16).astype(jnp.float32) - 7.5
+    grp = s_idx // 256
+    bx = fx + sc * (i_f * cosa - j_f * sina)
+    by = fy + sc * (i_f * sina + j_f * cosa)
+    gx = jnp.where(grp == 0, cosa, jnp.where(grp == 1, -cosa,
+                   jnp.where(grp == 2, -sina, sina)))
+    gy = jnp.where(grp == 0, sina, jnp.where(grp == 1, -sina,
+                   jnp.where(grp == 2, cosa, -cosa)))
+    vals = _sample_matmul(patch, bx + gx, by + gy, DESC_P)  # [1024, 1]
+    dx = vals[0:256] - vals[256:512]
+    dy = vals[512:768] - vals[768:1024]
+    grad = w2d_ref[:, :] * jnp.sqrt(dx * dx + dy * dy)
+    ang = 4.0 / np.pi * _atan2(dy, dx) + 4.0
+    angi = jnp.clip(jnp.floor(ang), 0.0, 7.0)
+    angf = ang - angi
+    angi2 = jnp.where(angi + 1.0 > 7.0, 0.0, angi + 1.0)
+    qmod8 = (
+        jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1) % 8
+    ).astype(jnp.float32)
+    angw = jnp.where(qmod8 == angi, 1.0 - angf, 0.0) + jnp.where(
+        qmod8 == angi2, angf, 0.0
+    )
+    contrib = wsp_ref[:, :] * angw * grad
+    return jnp.sum(contrib, axis=0, keepdims=True)  # [1, 128]
+
+
+def _make_fused_kernel(block_k: int):
+    def kernel(count_ref, x0_ref, y0_ref, fx_ref, fy_ref, sc_ref, i2_ref,
+               img_ref, w2d_ref, wsp_ref, smp_ref,
+               out_d1, out_d2, out_aux):
+        kb = pl.program_id(0)
+        out_d1[:, :] = jnp.zeros_like(out_d1)
+        out_d2[:, :] = jnp.zeros_like(out_d2)
+        out_aux[:, :] = jnp.zeros_like(out_aux)
+        for k in range(block_k):
+            i = kb * block_k + k
+
+            @pl.when(i < count_ref[0])
+            def _():
+                patch, dy_off = _load_patch(img_ref, x0_ref[i], y0_ref[i],
+                                            DESC_P)
+                fx = fx_ref[i]
+                fy = fy_ref[i] + dy_off
+                # --- orientation: histogram + smoothing + dual peaks ---
+                h = _orientation_hist_from_patch(patch, fx, fy, i2_ref[i],
+                                                 DESC_P)
+                hlr = jnp.dot(h, smp_ref[:, :],
+                              preferred_element_type=jnp.float32)  # [1,96]
+                hs = hlr[:, 0:32]
+                left = hlr[:, 32:64]
+                right = hlr[:, 64:96]
+                is_peak = (hs > left) & (hs >= right)
+                pv = jnp.where(is_peak, hs, 0.0)
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 32), 1
+                ).astype(jnp.float32)
+                m1 = jnp.max(pv, axis=1, keepdims=True)
+                i1 = jnp.min(jnp.where(pv == m1, iota, 99.0), axis=1,
+                             keepdims=True)
+                pv2 = jnp.where(iota == i1, 0.0, pv)
+                m2 = jnp.max(pv2, axis=1, keepdims=True)
+                i2 = jnp.min(jnp.where(pv2 == m2, iota, 99.0), axis=1,
+                             keepdims=True)
+                ori1 = jnp.where(m1 > 0, _peak_angle(hs, i1), 0.0)
+                ori2 = jnp.where(m2 > 0, _peak_angle(hs, i2), 0.0)
+                dup = jnp.where((m2 > 0.8 * m1) & (m2 > 0), 1.0, 0.0)
+
+                rad = jnp.float32(2.0 * np.pi / 360.0)
+                d1 = _descriptor_from_patch(
+                    patch, w2d_ref, wsp_ref, fx, fy,
+                    jnp.cos(ori1 * rad), jnp.sin(ori1 * rad), sc_ref[i],
+                )
+                out_d1[k, :] = d1[0, :]
+                aux8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+                out_aux[k, :] = (
+                    jnp.where(aux8 == 0, ori1, 0.0)
+                    + jnp.where(aux8 == 1, ori2, 0.0)
+                    + jnp.where(aux8 == 2, dup, 0.0)
+                )[0, :]
+
+                @pl.when(dup[0, 0] > 0)
+                def _():
+                    d2 = _descriptor_from_patch(
+                        patch, w2d_ref, wsp_ref, fx, fy,
+                        jnp.cos(ori2 * rad), jnp.sin(ori2 * rad), sc_ref[i],
+                    )
+                    out_d2[k, :] = d2[0, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def fused_orient_descriptor(img, x, y, scale, count=None, *,
+                            block_k: int = 8, interpret: bool = False):
+    """Fused per-keypoint orientation + dual-peak descriptors.
+
+    Returns (desc1 [K,128] raw, desc2 [K,128] raw, ori1 [K] deg,
+    ori2 [K] deg, dup [K] bool).  desc2 rows are zero where dup is
+    False.  Callers normalize with describe.normalize_descriptors.
+    """
+    K = x.shape[0]
+    H, W = img.shape
+    P = DESC_P
+    img = _pad_for_kernel(img, P)
+    Hp, Wp = img.shape
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32) - P // 2 + 1, 0, max(Wp - P, 0))
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32) - P // 2 + 1, 0, max(Hp - P, 0))
+    fx = x - x0.astype(jnp.float32)
+    fy = y - y0.astype(jnp.float32)
+    inv2s2 = -1.0 / (2.0 * (1.5 * scale) ** 2)
+    if count is None:
+        count = jnp.asarray([K], jnp.int32)
+    else:
+        count = jnp.asarray(count, jnp.int32).reshape(1)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((K, 128), jnp.float32),
+        jax.ShapeDtypeStruct((K, 128), jnp.float32),
+        jax.ShapeDtypeStruct((K, 8), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((block_k, 128), lambda kb: (kb, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_k, 128), lambda kb: (kb, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_k, 8), lambda kb: (kb, 0), memory_space=pltpu.VMEM),
+    )
+    d1, d2, aux = pl.pallas_call(
+        _make_fused_kernel(block_k),
+        out_shape=out_shapes,
+        grid=(K // block_k,),
+        in_specs=[smem] * 7 + [vmem] * 4,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(count, x0, y0, fx, fy, scale, inv2s2, img,
+      jnp.asarray(_W2D_COL), jnp.asarray(_W_SPATIAL_128),
+      jnp.asarray(_smooth_peak_matrices()))
+    return d1, d2, aux[:, 0], aux[:, 1], aux[:, 2] > 0.5
+
+
 # NOTE (r1 perf investigation): a "v2" variant batching BK keypoints per
 # program via a naturally-block-diagonal tent matrix ([BK*256, BK*48]
 # with row offsets baked into coordinates) measured 7x SLOWER than the

@@ -187,18 +187,27 @@ def detect(dog, cfg: SiftConfig, subsampling: float) -> Detections:
     cand = cand & edge_ok & scale_ok
 
     response = jnp.where(cand, jnp.abs(center), -1.0)
+    # Reduce over scale BEFORE top-k (strongest scale per pixel): the
+    # selection then runs on [H*W] instead of [S*H*W] — 5x less top-k
+    # work, the detect stage's main cost after the pyramid.  Two scales
+    # surviving strict 26-neighbor NMS at the SAME pixel requires a
+    # |ds| >= 2 scale gap — vanishingly rare — and the reference's
+    # atomic append would keep an arbitrary one under capacity pressure
+    # anyway; we keep the strongest.
+    resp_px = jnp.max(response, axis=0)            # [H, W]
+    s_sel = jnp.argmax(response, axis=0)           # [H, W]
     if cfg.exact_topk:
-        scores, flat_idx = jax.lax.top_k(response.reshape(-1), K)
+        scores, flat_idx = jax.lax.top_k(resp_px.reshape(-1), K)
     else:
-        scores, flat_idx = jax.lax.approx_max_k(response.reshape(-1), K)
-    s_idx = flat_idx // (H * W)
-    rem = flat_idx % (H * W)
-    y_idx = rem // W
-    x_idx = rem % W
+        scores, flat_idx = jax.lax.approx_max_k(resp_px.reshape(-1), K)
+    s_idx = jnp.take(s_sel.reshape(-1), flat_idx)
+    y_idx = flat_idx // W
+    x_idx = flat_idx % W
     valid = scores > 0.0
 
     # Gather the 5 refined values per selected candidate (flat take).
-    vals = jnp.take(refined.reshape(5, -1), flat_idx, axis=1)  # [5, K]
+    flat3 = s_idx * (H * W) + flat_idx
+    vals = jnp.take(refined.reshape(5, -1), flat3, axis=1)  # [5, K]
     pdx, pdy, pds, sharp, edge = vals
     scale = jnp.exp2((s_idx.astype(jnp.float32) + pds) / S)
 

@@ -129,7 +129,7 @@ def atlas_layout(shape, cfg: SiftConfig):
     return tuple(offsets), tuple(subs)
 
 
-def _detect_impl(img, cfg: SiftConfig):
+def _detect_impl(img, cfg: SiftConfig, mats):
     """Per-octave dense stage (pyramid + NMS); detections shifted into
     atlas-frame coordinates for the shared sampling kernels.
 
@@ -139,7 +139,7 @@ def _detect_impl(img, cfg: SiftConfig):
     octaves shared one blur bank, no lowest_scale gate), so the fork
     was removed in r2 — one detection path only.
     """
-    octaves = pyramid.build_pyramid(img, cfg)
+    octaves = pyramid.build_pyramid(img, cfg, mats if mats else None)
     atlas, offsets = _build_atlas([o.base for o in octaves])
     dets = []
     for oct_, off in zip(octaves, offsets):
@@ -149,17 +149,28 @@ def _detect_impl(img, cfg: SiftConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _detect_stage(img, cfg: SiftConfig):
-    """Dense stage: pyramid + detection + atlas, one XLA program."""
-    return _detect_impl(img, cfg)
+def _detect_stage(img, cfg: SiftConfig, mats=()):
+    """Dense stage: pyramid + detection + atlas, one XLA program.
+
+    mats: per-octave banded blur matrices as device-array ARGUMENTS
+    (pyramid.pyramid_band_mats) — () selects the grouped-conv path."""
+    return _detect_impl(img, cfg, mats)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _detect_stage_batch(imgs, cfg: SiftConfig):
+def _detect_stage_batch(imgs, cfg: SiftConfig, mats=()):
     """Batched dense stage over [B, H, W] images (one program for a
     whole image pair/batch — better VPU/MXU utilization than two
     sequential programs)."""
-    return jax.vmap(lambda im: _detect_impl(im, cfg))(imgs)
+    return jax.vmap(lambda im: _detect_impl(im, cfg, mats))(imgs)
+
+
+def _mats_for(shape, cfg: SiftConfig):
+    return (
+        pyramid.pyramid_band_mats(tuple(shape), cfg)
+        if pyramid.use_blur_matmul(cfg)
+        else ()
+    )
 
 
 def extract_sift_batch(imgs, cfg: SiftConfig = SiftConfig()):
@@ -169,7 +180,7 @@ def extract_sift_batch(imgs, cfg: SiftConfig = SiftConfig()):
     """
     use_pallas = _use_pallas(cfg)
     offsets, subs = atlas_layout(imgs.shape[-2:], cfg)
-    atlas_b, dets_b = _detect_stage_batch(imgs, cfg)
+    atlas_b, dets_b = _detect_stage_batch(imgs, cfg, _mats_for(imgs.shape[-2:], cfg))
     results = []
     for b in range(imgs.shape[0]):
         atlas = atlas_b[b]
@@ -193,7 +204,7 @@ def extract_sift(img, cfg: SiftConfig = SiftConfig()) -> SiftResult:
     """
     use_pallas = _use_pallas(cfg)
     offsets, subs = atlas_layout(img.shape, cfg)
-    atlas, dets = _detect_stage(img, cfg)
+    atlas, dets = _detect_stage(img, cfg, _mats_for(img.shape, cfg))
     return _sample_stage(atlas, offsets, subs, dets, cfg, use_pallas)
 
 
@@ -227,34 +238,63 @@ def _sample_stage(atlas, offsets, subs, dets, cfg: SiftConfig,
         for a in (x_a, y_a, sc_a, sharp_a, edge_a, valid_a, oct_a, sub_a, off_a)
     )
 
-    h = _sample_orientations(atlas, x_a, y_a, sc_a, valid_a, cfg, use_pallas)
-    ori1, ori2, valid2 = orient.orientations_from_histograms(
-        h, valid_a, duplicates=cfg.orientation_duplicates
-    )
-    valid2 = valid2 & valid_a
+    if use_pallas:
+        # Fused kernel: one patch load per keypoint serves orientation
+        # histogram, dual-peak finding, and both descriptors; the
+        # duplicate slots land in a fixed second half (no second
+        # compaction, no inter-kernel XLA glue).
+        from sfm_tpu.ops import pallas_sample
 
-    # Primary + duplicate slots (fixed second slot replaces the
-    # reference's atomicInc append of split-orientation keypoints).
-    # Duplicates are rare, so compact the combined set once more.
-    x2 = jnp.concatenate([x_a, x_a])
-    y2 = jnp.concatenate([y_a, y_a])
-    sc2 = jnp.concatenate([sc_a, sc_a])
-    sharp2 = jnp.concatenate([sharp_a, sharp_a])
-    edge2 = jnp.concatenate([edge_a, edge_a])
-    ori_2 = jnp.concatenate([ori1, ori2])
-    valid_2 = jnp.concatenate([valid_a, valid2])
-    oct_2 = jnp.concatenate([oct_a, oct_a])
-    sub_2 = jnp.concatenate([sub_a, sub_a])
-    off_2 = jnp.concatenate([off_a, off_a])
+        # interpret mode when the backend is CPU (tests force
+        # use_pallas=True there); Mosaic-compiled on TPU.
+        d1, d2, ori1, ori2, dup = pallas_sample.fused_orient_descriptor(
+            atlas, x_a, y_a, sc_a, count=jnp.sum(valid_a, dtype=jnp.int32),
+            interpret=jax.default_backend() == "cpu",
+        )
+        valid2 = dup & valid_a
+        if not cfg.orientation_duplicates:
+            valid2 = jnp.zeros_like(valid2)
+        desc = describe.normalize_descriptors(jnp.concatenate([d1, d2]))
+        x2 = jnp.concatenate([x_a, x_a])
+        y2 = jnp.concatenate([y_a, y_a])
+        sc2 = jnp.concatenate([sc_a, sc_a])
+        sharp2 = jnp.concatenate([sharp_a, sharp_a])
+        edge2 = jnp.concatenate([edge_a, edge_a])
+        ori_2 = jnp.concatenate([ori1, ori2])
+        valid_2 = jnp.concatenate([valid_a, valid2])
+        oct_2 = jnp.concatenate([oct_a, oct_a])
+        sub_2 = jnp.concatenate([sub_a, sub_a])
+        off_2 = jnp.concatenate([off_a, off_a])
+        desc = desc * valid_2[:, None]
+    else:
+        h = _sample_orientations(atlas, x_a, y_a, sc_a, valid_a, cfg, False)
+        ori1, ori2, valid2 = orient.orientations_from_histograms(
+            h, valid_a, duplicates=cfg.orientation_duplicates
+        )
+        valid2 = valid2 & valid_a
 
-    order2 = compaction_order(valid_2)
-    x2, y2, sc2, sharp2, edge2, ori_2, valid_2, oct_2, sub_2, off_2 = (
-        a[order2]
-        for a in (x2, y2, sc2, sharp2, edge2, ori_2, valid_2, oct_2, sub_2, off_2)
-    )
+        # Primary + duplicate slots (fixed second slot replaces the
+        # reference's atomicInc append of split-orientation keypoints).
+        # Duplicates are rare, so compact the combined set once more.
+        x2 = jnp.concatenate([x_a, x_a])
+        y2 = jnp.concatenate([y_a, y_a])
+        sc2 = jnp.concatenate([sc_a, sc_a])
+        sharp2 = jnp.concatenate([sharp_a, sharp_a])
+        edge2 = jnp.concatenate([edge_a, edge_a])
+        ori_2 = jnp.concatenate([ori1, ori2])
+        valid_2 = jnp.concatenate([valid_a, valid2])
+        oct_2 = jnp.concatenate([oct_a, oct_a])
+        sub_2 = jnp.concatenate([sub_a, sub_a])
+        off_2 = jnp.concatenate([off_a, off_a])
 
-    desc = _sample_descriptors(atlas, x2, y2, sc2, ori_2, valid_2, use_pallas)
-    desc = desc * valid_2[:, None]
+        order2 = compaction_order(valid_2)
+        x2, y2, sc2, sharp2, edge2, ori_2, valid_2, oct_2, sub_2, off_2 = (
+            a[order2]
+            for a in (x2, y2, sc2, sharp2, edge2, ori_2, valid_2, oct_2, sub_2, off_2)
+        )
+
+        desc = _sample_descriptors(atlas, x2, y2, sc2, ori_2, valid_2, False)
+        desc = desc * valid_2[:, None]
 
     kp = Keypoints(
         x=x2 * sub_2,

@@ -88,16 +88,33 @@ def match_descriptors_top2(desc1, desc2, valid2=None, *, chunk: int = 2048):
     return best, second, idx
 
 
+def _use_pallas(cfg: MatchConfig) -> bool:
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
+    return jax.default_backend() != "cpu"
+
+
+def _top2(desc1, desc2, valid2, cfg: MatchConfig, chunk: int):
+    if _use_pallas(cfg):
+        from sfm_tpu.ops import pallas_match
+
+        return pallas_match.match_top2_pallas(
+            desc1, desc2, valid2, bf16=cfg.bf16,
+            interpret=jax.default_backend() == "cpu",
+        )
+    return match_descriptors_top2(desc1, desc2, valid2, chunk=chunk)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk"))
 def match(desc1, desc2, valid1=None, valid2=None,
           cfg: MatchConfig = MatchConfig(), *, chunk: int = 2048) -> Matches:
     n1 = desc1.shape[0]
     if valid1 is None:
         valid1 = jnp.ones((n1,), bool)
-    best, second, idx = match_descriptors_top2(desc1, desc2, valid2, chunk=chunk)
+    best, second, idx = _top2(desc1, desc2, valid2, cfg, chunk)
     ambiguity = second / (best + 1e-6)
     ok = valid1 & (best > cfg.min_score) & (ambiguity < cfg.max_ambiguity)
     if cfg.mutual:
-        rbest, _, ridx = match_descriptors_top2(desc2, desc1, valid1, chunk=chunk)
+        rbest, _, ridx = _top2(desc2, desc1, valid1, cfg, chunk)
         ok = ok & (ridx[idx] == jnp.arange(n1, dtype=jnp.int32))
     return Matches(index=idx, score=best, ambiguity=ambiguity, valid=ok)

@@ -19,6 +19,7 @@ jits into a single XLA program.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
@@ -71,9 +72,45 @@ def lowpass(img, cfg: SiftConfig):
     return imops.blur(img, taps)
 
 
-def build_octave(base, cfg: SiftConfig, octave_index: int, subsampling: float) -> Octave:
+def use_blur_matmul(cfg: SiftConfig) -> bool:
+    if cfg.blur_matmul is not None:
+        return cfg.blur_matmul
+    return jax.default_backend() != "cpu"
+
+
+@functools.lru_cache(maxsize=16)
+def pyramid_band_mats(shape, cfg: SiftConfig):
+    """Per-octave banded blur matrices as cached DEVICE arrays.
+
+    Built host-side once per (image shape, config) and kept resident:
+    they must flow into the jitted detect stage as ARGUMENTS — baking
+    them in as multi-MB HLO literals made remote TPU compiles take
+    >15 min (r2 measurement), and rebuilding them in-graph costs
+    ~5 ms/image at runtime.  ~36 MB HBM for a 720x576 5-octave config.
+    """
+    import jax.numpy as jnp
+
+    H, W = shape
+    if cfg.up_scale:
+        H, W = 2 * H, 2 * W
+    mats = []
+    for o in range(cfg.num_octaves):
+        bank = octave_kernel_bank(cfg, o)
+        key = bank.astype(np.float32).tobytes()
+        Bc = jnp.asarray(imops._band_matrix_cached(H, key, bank.shape[1]))
+        Br = jnp.asarray(imops._band_matrix_cached(W, key, bank.shape[1]))
+        mats.append((Bc, Br))
+        H, W = H // 2, W // 2
+    return tuple(mats)
+
+
+def build_octave(base, cfg: SiftConfig, octave_index: int, subsampling: float,
+                 mats=None) -> Octave:
     bank = octave_kernel_bank(cfg, octave_index)
-    blurred = imops.blur_bank(base, bank)        # [S+3, H, W]
+    if mats is not None:
+        blurred = imops.blur_bank_matmul(base, mats=mats)  # [S+3, H, W]
+    else:
+        blurred = imops.blur_bank(base, bank)    # [S+3, H, W]
     dog = blurred[1:] - blurred[:-1]             # [S+2, H, W]
     # Force materialization: without the barrier XLA fuses the blur
     # bank into every one of the detector's ~14 shifted reads of the
@@ -83,11 +120,13 @@ def build_octave(base, cfg: SiftConfig, octave_index: int, subsampling: float) -
     return Octave(base=base, dog=dog, subsampling=subsampling)
 
 
-def build_pyramid(img, cfg: SiftConfig) -> list:
+def build_pyramid(img, cfg: SiftConfig, mats=None) -> list:
     """Full pyramid: list of Octave, finest (subsampling=1) first.
 
     The reference processes coarsest-first due to its recursion order
     (ExtractSiftLoop), but order is irrelevant for the set of outputs.
+    mats: per-octave banded matmul pairs (pyramid_band_mats) or None
+    for the grouped-conv path.
     """
     if cfg.up_scale:
         img = imops.scale_up(img)
@@ -95,7 +134,9 @@ def build_pyramid(img, cfg: SiftConfig) -> list:
     octaves = []
     sub = 1.0
     for o in range(cfg.num_octaves):
-        octaves.append(build_octave(base, cfg, o, sub))
+        octaves.append(
+            build_octave(base, cfg, o, sub, mats[o] if mats else None)
+        )
         if o + 1 < cfg.num_octaves:
             base = imops.scale_down(base, 0.5)
             sub *= 2.0

@@ -93,3 +93,70 @@ def test_partial_count_zero_fills_tail():
     assert np.isfinite(h).all()
     assert (h[3:] == 0.0).all()
     assert np.abs(h[:3]).sum() > 0
+
+
+def test_fused_kernel_matches_two_stage(rng):
+    # The fused orientation+descriptor kernel must reproduce the
+    # two-stage path: same dual peaks, same descriptors.
+    img, x, y, sc, _ = _setup(rng, K=16)
+    d1, d2, ori1, ori2, dup = pallas_sample.fused_orient_descriptor(
+        img, x, y, sc, interpret=True)
+    h_ref = orient.orientation_histograms(img, x, y, sc)
+    o1_ref, o2_ref, v2_ref = orient.orientations_from_histograms(
+        h_ref, jnp.ones(16, bool))
+    assert np.allclose(np.array(ori1), np.array(o1_ref), atol=0.1), (
+        np.abs(np.array(ori1) - np.array(o1_ref)).max())
+    np.testing.assert_array_equal(np.array(dup), np.array(v2_ref))
+    dn1 = np.array(describe.normalize_descriptors(d1))
+    ref1 = np.array(describe.extract_descriptors(img, x, y, sc, ori1))
+    corr = (dn1 * ref1).sum(1)
+    assert corr.min() > 0.9999, corr.min()
+    # duplicate descriptors only where dup, and match the ori2 ref
+    dupm = np.array(dup)
+    if dupm.any():
+        dn2 = np.array(describe.normalize_descriptors(d2))
+        ref2 = np.array(describe.extract_descriptors(img, x, y, sc, ori2))
+        corr2 = (dn2 * ref2).sum(1)[dupm]
+        assert corr2.min() > 0.9999, corr2.min()
+    assert (np.array(d2)[~dupm] == 0).all()
+
+
+def test_fused_kernel_count_gating(rng):
+    img, x, y, sc, _ = _setup(rng, K=16)
+    d1, d2, ori1, ori2, dup = pallas_sample.fused_orient_descriptor(
+        img, x, y, sc, count=4, interpret=True)
+    assert (np.array(d1)[4:] == 0).all()
+    assert (np.array(d2)[4:] == 0).all()
+    assert not np.array(dup)[4:].any()
+
+
+def test_pallas_matcher_matches_xla(rng):
+    from sfm_tpu.ops import pallas_match
+    from sfm_tpu.sift import match as match_mod
+    import jax.numpy as jnp
+
+    d1 = rng.normal(size=(300, 128)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 = rng.normal(size=(700, 128)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    v2 = np.ones(700, bool)
+    v2[::7] = False
+    b_ref, s_ref, i_ref = match_mod.match_descriptors_top2(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v2))
+    # f32: exact agreement
+    b, s, i = pallas_match.match_top2_pallas(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v2),
+        bm=8, bn=128, bf16=False, interpret=True)
+    np.testing.assert_array_equal(np.array(i), np.array(i_ref))
+    np.testing.assert_allclose(np.array(b), np.array(b_ref), atol=1e-5)
+    np.testing.assert_allclose(np.array(s), np.array(s_ref), atol=1e-5)
+    # bf16: random unit descriptors are the WORST case (all correlations
+    # are near-ties at ~N(0, 1/sqrt(128))); real SIFT descriptors agree
+    # far better (see test_frontend_pallas_path_matches_xla_path).
+    b16, s16, i16 = pallas_match.match_top2_pallas(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v2),
+        bm=8, bn=128, bf16=True, interpret=True)
+    agree = (np.array(i16) == np.array(i_ref)).mean()
+    assert agree > 0.95, agree
+    assert v2[np.array(i)].all()    # winners always land on valid points
+    assert v2[np.array(i16)].all()
