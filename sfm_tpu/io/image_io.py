@@ -70,7 +70,17 @@ def load_gray(path) -> np.ndarray:
 
 
 def save_ply(path, points, colors=None, valid=None):
-    """Write an ASCII PLY point cloud (replaces the GL viewer output)."""
+    """Write a PLY point cloud (replaces the GL viewer output).
+
+    Uses the native binary writer (native/sfm_io.cpp) when available,
+    else a pure-Python ASCII fallback.  Returns the vertex count."""
+    try:
+        from sfm_tpu.io import native as _native
+
+        if _native.available():
+            return _native.save_ply(path, points, colors=colors, valid=valid)
+    except Exception:
+        pass
     points = np.asarray(points)
     if valid is not None:
         mask = np.asarray(valid).astype(bool)
@@ -93,3 +103,4 @@ def save_ply(path, points, colors=None, valid=None):
                 c = colors[i].astype(int)
                 line += f" {c[0]} {c[1]} {c[2]}"
             f.write(line + "\n")
+    return n

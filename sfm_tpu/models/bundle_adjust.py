@@ -198,10 +198,12 @@ def schur_solve_cg(
     cross blocks Wg (the dense path's [P,M,6,3]): every S-product is
     two observation-space einsums + segment adds, so memory is
     O(O*2*9) and compute is O(O) per CG step — this is what lets BA
-    run at hundreds of cameras / 100k points on one chip and shard by
-    observations across a mesh (pass `psum_axis` inside shard_map; the
-    segment sums then reduce over ICI with two psums per matvec,
-    O(P*3 + M*6) bytes instead of the dense path's O(M^2*36)).
+    run at hundreds of cameras / 100k points on one chip and shard
+    across a mesh.  When called inside shard_map with `psum_axis`, the
+    layout contract is: cameras replicated, points partitioned WITH all
+    of their observations shard-local (parallel.dist_ba.partition_problem
+    guarantees this) — then only the camera-side segment sums cross ICI,
+    ONE [M,6] psum per matvec (~2 KB), vs the dense path's [M,6,M,6].
 
     Gauge handling matches the dense path: fixed cameras get identity
     rows (delta forced to 0).  Returns (delta_cam [M,6], delta_pt [P,3]).
@@ -216,11 +218,8 @@ def schur_solve_cg(
     n_pts = V.shape[0]
     Jp_w = Jp * w[:, None, None]
 
-    def seg_pt(vals):  # [O,3] -> [P,3]
-        out = jnp.zeros((n_pts, 3), dt).at[pt].add(vals)
-        if psum_axis is not None:
-            out = jax.lax.psum(out, psum_axis)
-        return out
+    def seg_pt(vals):  # [O,3] -> [P,3]; always shard-local (see contract)
+        return jnp.zeros((n_pts, 3), dt).at[pt].add(vals)
 
     def seg_cam(vals):  # [O,6] -> [M,6]
         out = jnp.zeros((M, 6), dt).at[cam].add(vals)

@@ -78,45 +78,34 @@ def _append_points(state: MapState, X_new, new_mask):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _register_image(
     state: MapState,
-    prev_idx,
     cur_idx,
-    x_prev,    # [K, 3] normalized coords of prev image keypoints
-    x_cur,     # [K, 3] normalized coords of current image keypoints
-    match_idx,  # [K] prev-slot -> cur-slot
-    match_ok,   # [K]
+    x_cur,      # [K, 3] normalized coords of current image keypoints
+    prev_idx,   # [B] int32 previous frame indices (nearest first)
+    x_prev,     # [B, K, 3]
+    match_idx,  # [B, K] prev-slot -> cur-slot
+    match_ok,   # [B, K]
     key,
     cfg: PipelineConfig,
-    prev2_idx=None,
-    x_prev2=None,
-    match2_idx=None,   # [K] prev2-slot -> cur-slot
-    match2_ok=None,
 ):
-    """PnP-register image cur_idx and extend the map.
+    """PnP-register image cur_idx against B previous frames and extend
+    the map.
 
-    One fused XLA step: 2D-3D PnP RANSAC (over correspondences from up
-    to TWO previous frames — denser than single-frame chaining) + pose
-    refine + new-point triangulation + track bookkeeping.
+    One fused XLA step: 2D-3D PnP RANSAC over the union of
+    correspondences from every previous frame (longer tracks couple
+    the pose chain far more stiffly than single-frame chaining — the
+    r1/r2 bas-relief drift came from 2-frame tracks) + pose refine +
+    new-point triangulation (against the nearest frame) + track
+    bookkeeping.
     """
-    K_slots = x_prev.shape[0]
-    pid_prev = state.point_id[prev_idx]          # [K]
-    has_pt = (pid_prev >= 0) & match_ok
+    B, K_slots = match_idx.shape
+    pid_prev = state.point_id[prev_idx]              # [B, K]
     pid_safe = jnp.maximum(pid_prev, 0)
-    X_corr = state.X[pid_safe]                   # [K, 3]
-    x_obs = x_cur[match_idx]                     # [K, 3] observed in cur
-    corr_mask = has_pt & state.X_valid[pid_safe]
-
-    if match2_idx is not None:
-        pid_p2 = state.point_id[prev2_idx]
-        has2 = (pid_p2 >= 0) & match2_ok
-        pid2_safe = jnp.maximum(pid_p2, 0)
-        X2 = state.X[pid2_safe]
-        x_obs2 = x_cur[match2_idx]
-        mask2 = has2 & state.X_valid[pid2_safe]
-        x_pnp = jnp.concatenate([x_obs, x_obs2])
-        X_pnp = jnp.concatenate([X_corr, X2])
-        m_pnp = jnp.concatenate([corr_mask, mask2])
-    else:
-        x_pnp, X_pnp, m_pnp = x_obs, X_corr, corr_mask
+    X_corr = state.X[pid_safe]                       # [B, K, 3]
+    x_obs = jnp.take_along_axis(
+        jnp.broadcast_to(x_cur[None], (B,) + x_cur.shape),
+        match_idx[..., None], axis=1,
+    )                                                # [B, K, 3]
+    corr_mask = (pid_prev >= 0) & match_ok & state.X_valid[pid_safe]
 
     rc = cfg.ransac
     # The previous frame's pose seeds the hypothesis set: on shallow
@@ -124,35 +113,36 @@ def _register_image(
     # minimal 6-point DLT sample (r1: PnP spread 3..247 inliers across
     # seeds on the same problem; with the prior it is stable).
     res = pnp.ransac_pnp(
-        key, x_pnp, X_pnp, m_pnp,
+        key, x_obs.reshape(-1, 3), X_corr.reshape(-1, 3),
+        corr_mask.reshape(-1),
         n_hyps=rc.n_hyps, threshold=rc.threshold * 4,
-        R_init=state.R[prev_idx], t_init=state.t[prev_idx],
+        R_init=state.R[prev_idx[0]], t_init=state.t[prev_idx[0]],
     )
     R_new, t_new = res.R, res.t
     ok_pose = res.num_inliers >= 12
 
-    # Propagate track ids to current image (observations of existing pts).
-    inl1 = res.inliers[:K_slots]
-    inherit = corr_mask & inl1
-    point_id_cur = jnp.full((K_slots,), -1, jnp.int32).at[
-        jnp.where(inherit, match_idx, K_slots)
-    ].set(jnp.where(inherit, pid_prev, -1), mode="drop")
-    if match2_idx is not None:
-        inherit2 = mask2 & res.inliers[K_slots:]
+    # Propagate track ids to current image (observations of existing
+    # points).  Farther frames write FIRST so the nearest frame wins
+    # slot conflicts.
+    inl = res.inliers.reshape(B, K_slots)
+    point_id_cur = jnp.full((K_slots,), -1, jnp.int32)
+    for b in range(B - 1, -1, -1):
+        inherit = corr_mask[b] & inl[b]
         point_id_cur = point_id_cur.at[
-            jnp.where(inherit2, match2_idx, K_slots)
-        ].set(jnp.where(inherit2, pid_p2, -1), mode="drop")
+            jnp.where(inherit, match_idx[b], K_slots)
+        ].set(jnp.where(inherit, pid_prev[b], -1), mode="drop")
 
-    # Triangulate brand-new tracks: matched, prev slot has no point.
-    fresh = match_ok & (pid_prev < 0)
-    P_prev = tri.make_projection(state.R[prev_idx], state.t[prev_idx])
+    # Triangulate brand-new tracks against the NEAREST previous frame.
+    p0 = prev_idx[0]
+    fresh = match_ok[0] & (pid_prev[0] < 0)
+    P_prev = tri.make_projection(state.R[p0], state.t[p0])
     P_cur = tri.make_projection(R_new, t_new)
-    X_new, w_h, finite = tri.triangulate(x_prev, x_obs, P_prev, P_cur)
+    X_new, w_h, finite = tri.triangulate(x_prev[0], x_obs[0], P_prev, P_cur)
     # Quality gates: reprojection in both views + positive depth.
-    z_prev = tri.depths(X_new, state.R[prev_idx], state.t[prev_idx])
+    z_prev = tri.depths(X_new, state.R[p0], state.t[p0])
     z_cur = tri.depths(X_new, R_new, t_new)
-    e_prev = pnp.reprojection_residuals(state.R[prev_idx], state.t[prev_idx], x_prev, X_new)
-    e_cur = pnp.reprojection_residuals(R_new, t_new, x_obs, X_new)
+    e_prev = pnp.reprojection_residuals(state.R[p0], state.t[p0], x_prev[0], X_new)
+    e_cur = pnp.reprojection_residuals(R_new, t_new, x_obs[0], X_new)
     good_new = (
         fresh & finite & (z_prev > 0) & (z_cur > 0)
         & (e_prev < rc.threshold * 4) & (e_cur < rc.threshold * 4)
@@ -161,16 +151,16 @@ def _register_image(
     state, new_ids = _append_points(state, X_new, good_new)
 
     # Record new ids in both images' tables.
-    point_id_prev = jnp.where(new_ids >= 0, new_ids, state.point_id[prev_idx])
+    point_id_prev0 = jnp.where(new_ids >= 0, new_ids, state.point_id[p0])
     point_id_cur = point_id_cur.at[
-        jnp.where(new_ids >= 0, match_idx, K_slots)
+        jnp.where(new_ids >= 0, match_idx[0], K_slots)
     ].set(jnp.where(new_ids >= 0, new_ids, -1), mode="drop")
 
     state = state._replace(
         R=state.R.at[cur_idx].set(jnp.where(ok_pose, R_new, jnp.eye(3, dtype=R_new.dtype))),
         t=state.t.at[cur_idx].set(jnp.where(ok_pose, t_new, 0.0)),
         pose_valid=state.pose_valid.at[cur_idx].set(ok_pose),
-        point_id=state.point_id.at[prev_idx].set(point_id_prev)
+        point_id=state.point_id.at[p0].set(point_id_prev0)
                                 .at[cur_idx].set(point_id_cur),
     )
     return state, res.num_inliers
@@ -198,6 +188,18 @@ def build_ba_problem(state: MapState, uv_all, kp_valid, K_inv):
     )
 
 
+def _make_matcher(cfg: PipelineConfig, mesh):
+    """Pairwise matcher: local, or sharded over the mesh (the matmul's
+    N2 axis rides ICI via parallel.dist_match when a mesh is given)."""
+    if mesh is None:
+        return lambda d1, d2, v1, v2: match_mod.match(d1, d2, v1, v2, cfg.match)
+    from sfm_tpu.parallel import dist_match
+
+    return lambda d1, d2, v1, v2: dist_match.dist_match(
+        d1, d2, v1, v2, cfg.match, mesh=mesh
+    )
+
+
 def run_incremental(
     images,
     K,
@@ -208,8 +210,17 @@ def run_incremental(
     ba_iters: int = 20,
     local_ba_iters: int = 5,
     local_ba_window: int = 5,
+    n_back: int = 3,
+    closure_pairs=(),
+    mesh=None,
 ):
-    """Full incremental reconstruction over a list of [H, W] images."""
+    """Full incremental reconstruction over a list of [H, W] images.
+
+    With `mesh`, the two heavy O(N^2)/O(M^2) stages run distributed:
+    pairwise descriptor matching shards the right-hand keypoint set
+    (parallel.dist_match) and the final global BA runs the
+    point-partitioned Schur CG (parallel.dist_ba).
+    """
     n_images = len(images)
     K = jnp.asarray(K)
     K_inv = camera.inv_intrinsics(K)
@@ -228,11 +239,12 @@ def run_incremental(
     ]
 
     state = _empty_state(n_images, kp_cap, pt_capacity)
+    matcher = _make_matcher(cfg, mesh)
 
     # --- bootstrap from images (0, 1): essential + pose + triangulate ---
-    m01 = match_mod.match(
+    m01 = matcher(
         feats[0].descriptors, feats[1].descriptors,
-        feats[0].keypoints.valid, feats[1].keypoints.valid, cfg.match,
+        feats[0].keypoints.valid, feats[1].keypoints.valid,
     )
     mask01 = m01.valid & kp_valid[0] & kp_valid[1][m01.index]
     # Degenerate-configuration rejection (see RansacConfig.min_disparity_px).
@@ -271,23 +283,29 @@ def run_incremental(
         point_id=state.point_id.at[0].set(pid0).at[1].set(pid1),
     )
 
-    # --- incremental registration (2D-3D from up to two prev frames) ---
+    # --- incremental registration (2D-3D from n_back previous frames:
+    # multi-frame tracks stiffen the chain against bas-relief drift) ---
     for i in range(2, n_images):
-        m = match_mod.match(
-            feats[i - 1].descriptors, feats[i].descriptors,
-            feats[i - 1].keypoints.valid, feats[i].keypoints.valid, cfg.match,
-        )
-        ok = m.valid & kp_valid[i - 1] & kp_valid[i][m.index]
-        m2 = match_mod.match(
-            feats[i - 2].descriptors, feats[i].descriptors,
-            feats[i - 2].keypoints.valid, feats[i].keypoints.valid, cfg.match,
-        )
-        ok2 = m2.valid & kp_valid[i - 2] & kp_valid[i][m2.index]
+        backs = list(range(i - 1, max(i - 1 - n_back, -1), -1))
+        midx, mok = [], []
+        for p in backs:
+            m = matcher(
+                feats[p].descriptors, feats[i].descriptors,
+                feats[p].keypoints.valid, feats[i].keypoints.valid,
+            )
+            midx.append(m.index)
+            mok.append(m.valid & kp_valid[p] & kp_valid[i][m.index])
+        # Pad to a fixed B so one compiled program serves every frame.
+        while len(backs) < n_back:
+            backs.append(backs[-1])
+            midx.append(midx[-1])
+            mok.append(jnp.zeros_like(mok[-1]))
         state, n_inl = _register_image(
-            state, i - 1, i, x_norm[i - 1], x_norm[i], m.index, ok,
+            state, i, x_norm[i],
+            jnp.asarray(backs, jnp.int32),
+            jnp.stack([x_norm[p] for p in backs]),
+            jnp.stack(midx), jnp.stack(mok),
             keys[i], cfg,
-            prev2_idx=i - 2, x_prev2=x_norm[i - 2],
-            match2_idx=m2.index, match2_ok=ok2,
         )
         # Windowed local BA after each registration: polish the last
         # `local_ba_window` poses + map against ALL their observations.
@@ -306,24 +324,36 @@ def run_incremental(
             )
             state = state._replace(R=st_i.R, t=st_i.t, X=st_i.X)
 
+    def _global_ba(R, t, X, problem, iters):
+        if mesh is None:
+            final, costs = ba.run_ba(R, t, X, problem, iters=iters)
+            return final.R, final.t, final.X, costs
+        from sfm_tpu.parallel import dist_ba
+
+        X_sh, prob_sh = dist_ba.partition_problem(problem, X, mesh.size)
+        R_f, t_f, X_sh_f, costs = dist_ba.run_dist_ba(
+            R, t, X_sh, prob_sh, mesh, iters=iters
+        )
+        return R_f, t_f, dist_ba.unpartition_points(X_sh_f, X.shape[0]), costs
+
     # --- global bundle adjustment with one outlier-pruning round ---
     problem = build_ba_problem(state, uv_all, kp_valid, K_inv)
-    final, costs = ba.run_ba(
-        state.R, state.t, state.X, problem, iters=ba_iters
+    R_f, t_f, X_f, costs = _global_ba(
+        state.R, state.t, state.X, problem, ba_iters
     )
     # Prune gross-residual observations (wrong matches that survived
     # RANSAC) and polish — the reference has no such loop (it has no BA
     # at all, README.md:42).
-    r = ba._residuals(final.R, final.t, final.X, problem)
+    r = ba._residuals(R_f, t_f, X_f, problem)
     rn2 = jnp.sum(r * r, axis=-1)
     med = jnp.nanmedian(jnp.where(problem.mask, rn2, jnp.nan))
     keep = problem.mask & (rn2 < 25.0 * jnp.nan_to_num(med, nan=1e-6) + 1e-12)
     problem2 = problem._replace(mask=keep)
-    final, costs2 = ba.run_ba(
-        final.R, final.t, final.X, problem2, iters=max(ba_iters // 2, 5)
+    R_f, t_f, X_f, costs2 = _global_ba(
+        R_f, t_f, X_f, problem2, max(ba_iters // 2, 5)
     )
-    state = state._replace(R=final.R, t=final.t, X=final.X)
-    r = ba._residuals(final.R, final.t, final.X, problem2)
+    state = state._replace(R=R_f, t=t_f, X=X_f)
+    r = ba._residuals(R_f, t_f, X_f, problem2)
     denom = jnp.maximum(jnp.sum(problem2.mask), 1)
     mean_reproj = jnp.sum(
         jnp.where(problem2.mask, jnp.sum(r * r, -1), 0.0)

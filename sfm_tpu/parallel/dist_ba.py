@@ -7,12 +7,15 @@ per-block Hessian reduction over ICI":
 
   * the map (points + their observations) is partitioned across the
     device mesh; cameras are replicated;
-  * each device assembles its local V/W/gp blocks and its local
-    contribution to the reduced camera system;
-  * ONE psum of the [M,6,M,6] Schur matrix + [M,6] rhs (+ scalars) per
-    LM iteration crosses ICI — communication is O(M^2), independent of
-    the number of points, which is what buys >0.8 scaling efficiency;
-  * the camera solve is replicated (tiny); point updates stay local.
+  * each device assembles its local U/V/g blocks; camera-side blocks
+    reduce over ICI with psums;
+  * solver="cg" (default): matrix-free Schur CG — each matvec costs
+    ONE [M,6] psum (~2 KB) because every point's observations are
+    shard-local, so communication is O(M*6*cg_iters) per LM iteration,
+    independent of both the point count and M^2;
+  * solver="dense": exact replicated [6M,6M] solve, ONE [M,6,M,6] psum
+    per LM iteration — fine for small rigs, kept for parity tests;
+  * point updates stay local.
 
 Everything runs inside a single `shard_map` whose body scans LM
 iterations, so the whole optimization is one XLA program per mesh.
@@ -82,6 +85,12 @@ def partition_problem(problem: BAProblem, X, n_shards: int):
     return jnp.asarray(X_s.reshape(-1, 3)), prob_s
 
 
+def unpartition_points(X_sh, n_pts: int):
+    """Undo partition_problem's point layout: the flattened [D*Ps, 3]
+    sharded array is the original X padded at the tail."""
+    return X_sh[:n_pts]
+
+
 def _local_blocks(R, t, X_loc, prob_loc: BAProblem, huber_delta, n_cams, n_pts_loc):
     """Per-shard normal-equation blocks (cameras global, points local)."""
     return ba.normal_equation_blocks(
@@ -90,7 +99,8 @@ def _local_blocks(R, t, X_loc, prob_loc: BAProblem, huber_delta, n_cams, n_pts_l
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "iters", "huber_delta", "axis")
+    jax.jit,
+    static_argnames=("mesh", "iters", "huber_delta", "axis", "solver", "cg_iters"),
 )
 def run_dist_ba(
     R,
@@ -103,6 +113,8 @@ def run_dist_ba(
     huber_delta: float = 3e-3,
     init_lam: float = 1e-3,
     axis: str = DATA_AXIS,
+    solver: str = "cg",
+    cg_iters: int = 32,
 ):
     """Distributed LM BA over a 1-D mesh.
 
@@ -111,6 +123,7 @@ def run_dist_ba(
       X_sh: [D * Ps, 3] points, sharded on the leading dim.
       prob_sh: BAProblem with [D * Os] observation arrays (sharded),
         LOCAL pt_idx per shard, replicated `fixed`.
+      solver: "cg" (scalable, default) or "dense" (exact, small M).
 
     Returns (R, t, X_sh, costs [iters+1]).
     """
@@ -128,41 +141,47 @@ def run_dist_ba(
 
         def step(carry, _):
             R, t, X_loc, lam, cost = carry
-            U_l, V, Wg, gc_l, gp = _local_blocks(
-                R, t, X_loc, prob_loc, huber_delta, n_cams, n_pts_loc
-            )
-            # Camera-side reductions over ICI.
-            U = jax.lax.psum(U_l, axis)
-            gc = jax.lax.psum(gc_l, axis)
-            # Damping (replicated values — identical on all devices).
-            dU = U + (lam * jnp.eye(6, dtype=dt))[None] * (
-                jnp.trace(U, axis1=-2, axis2=-1)[:, None, None] / 6.0 + 1e-6
-            )
-            dV = V + (lam * jnp.eye(3, dtype=dt))[None] * (
-                jnp.trace(V, axis1=-2, axis2=-1)[:, None, None] / 3.0 + 1e-6
-            )
-            Vinv = ba._inv3x3(dV)
-            Bv = jnp.einsum("pmix,pxy->pmiy", Wg, Vinv)
-            S_cross = jax.lax.psum(
-                jnp.einsum("pmiy,pnjy->minj", Bv, Wg), axis
-            )
-            rhs_cross = jax.lax.psum(jnp.einsum("pmiy,py->mi", Bv, gp), axis)
-            M_ = n_cams
-            S = -S_cross
-            S = S.at[jnp.arange(M_), :, jnp.arange(M_), :].add(dU)
-            rhs = gc - rhs_cross
-            free = (~fixed).astype(dt)
-            S = S * free[:, None, None, None] * free[None, None, :, None]
-            S = S.at[jnp.arange(M_), :, jnp.arange(M_), :].add(
-                jnp.eye(6, dtype=dt)[None] * fixed[:, None, None].astype(dt)
-            )
-            rhs = rhs * free[:, None]
-            delta_c = -jnp.linalg.solve(
-                S.reshape(6 * M_, 6 * M_), rhs.reshape(-1)
-            ).reshape(M_, 6)
-            delta_c = delta_c * free[:, None]
-            Wtdc = jnp.einsum("pmiy,mi->py", Wg, delta_c)
-            delta_p = -jnp.einsum("pxy,py->px", Vinv, gp + Wtdc)
+            if solver == "dense":
+                U_l, V, Wg, gc_l, gp = _local_blocks(
+                    R, t, X_loc, prob_loc, huber_delta, n_cams, n_pts_loc
+                )
+                U = jax.lax.psum(U_l, axis)
+                gc = jax.lax.psum(gc_l, axis)
+                dU, dV = ba._damped(U, V, lam)
+                Vinv = ba._inv3x3(dV)
+                Bv = jnp.einsum("pmix,pxy->pmiy", Wg, Vinv)
+                S_cross = jax.lax.psum(
+                    jnp.einsum("pmiy,pnjy->minj", Bv, Wg), axis
+                )
+                rhs_cross = jax.lax.psum(
+                    jnp.einsum("pmiy,py->mi", Bv, gp), axis
+                )
+                M_ = n_cams
+                S = -S_cross
+                S = S.at[jnp.arange(M_), :, jnp.arange(M_), :].add(dU)
+                rhs = gc - rhs_cross
+                free = (~fixed).astype(dt)
+                S = S * free[:, None, None, None] * free[None, None, :, None]
+                S = S.at[jnp.arange(M_), :, jnp.arange(M_), :].add(
+                    jnp.eye(6, dtype=dt)[None] * fixed[:, None, None].astype(dt)
+                )
+                rhs = rhs * free[:, None]
+                delta_c = -jnp.linalg.solve(
+                    S.reshape(6 * M_, 6 * M_), rhs.reshape(-1)
+                ).reshape(M_, 6)
+                delta_c = delta_c * free[:, None]
+                Wtdc = jnp.einsum("pmiy,mi->py", Wg, delta_c)
+                delta_p = -jnp.einsum("pxy,py->px", Vinv, gp + Wtdc)
+            else:
+                U_l, V, gc_l, gp, Jc_w, _, Jp, r_o, w = ba.weighted_system(
+                    R, t, X_loc, prob_loc, huber_delta, n_cams, n_pts_loc
+                )
+                U = jax.lax.psum(U_l, axis)
+                gc = jax.lax.psum(gc_l, axis)
+                delta_c, delta_p = ba.schur_solve_cg(
+                    U, V, Jc_w, Jp, r_o, w, prob_loc, gc, gp, lam, fixed,
+                    cg_iters=cg_iters, psum_axis=axis,
+                )
             Rn = jnp.einsum("mij,mjk->mik", R, lie.so3_exp(delta_c[:, :3]))
             tn = t + delta_c[:, 3:]
             Xn = X_loc + delta_p

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from sfm_tpu.sift.match import match_descriptors_top2, _NEG
+from sfm_tpu.config import MatchConfig
+from sfm_tpu.sift.match import Matches, match_descriptors_top2, _NEG
 from sfm_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -71,3 +72,26 @@ def dist_match_top2(desc1, desc2_sh, valid2_sh, mesh: Mesh, *,
         check_rep=False,
     )
     return fn(desc1, desc2_sh, valid2_sh)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "cfg", "chunk", "axis"))
+def dist_match(desc1, desc2, valid1=None, valid2=None,
+               cfg: MatchConfig = MatchConfig(), *, mesh: Mesh,
+               chunk: int = 2048, axis: str = DATA_AXIS) -> Matches:
+    """Mesh-sharded drop-in for sift.match.match (same Matches contract:
+    ratio test, score threshold).  N2 must divide by the mesh size —
+    the fixed keypoint capacities are chosen to (frontend capacity =
+    num_octaves * 2 * max_pts_per_octave, a multiple of typical mesh
+    sizes); otherwise pad + mask desc2 before calling.
+    """
+    n1 = desc1.shape[0]
+    if valid1 is None:
+        valid1 = jnp.ones((n1,), bool)
+    if valid2 is None:
+        valid2 = jnp.ones((desc2.shape[0],), bool)
+    best, second, idx = dist_match_top2(
+        desc1, desc2, valid2, mesh, chunk=chunk, axis=axis
+    )
+    ambiguity = second / (best + 1e-6)
+    ok = valid1 & (best > cfg.min_score) & (ambiguity < cfg.max_ambiguity)
+    return Matches(index=idx, score=best, ambiguity=ambiguity, valid=ok)

@@ -15,6 +15,47 @@ from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 DATA_AXIS = "data"
 
+_dist_initialized = False
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> int:
+    """Multi-host wiring: `jax.distributed.initialize` from args or the
+    standard env (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID, or a cluster-autodetected environment).
+
+    Call once per process BEFORE any jax computation; afterwards
+    `jax.devices()` spans every host and `make_mesh`/`make_global_mesh`
+    build meshes whose collectives ride ICI within a host/pod slice and
+    DCN across (see make_global_mesh).  No-op (returns process count)
+    when single-process or already initialized.
+    """
+    global _dist_initialized
+    import os
+
+    if _dist_initialized:
+        return jax.process_count()
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes in (None, 1):
+        _dist_initialized = True  # single-process: nothing to do
+        return 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _dist_initialized = True
+    return jax.process_count()
+
 
 def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
     """1-D mesh over the first n_devices local devices."""
@@ -24,6 +65,30 @@ def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
     if n_devices > len(devs):
         raise ValueError(f"requested {n_devices} devices, have {len(devs)}")
     return Mesh(np.array(devs[:n_devices]), (axis,))
+
+
+def make_global_mesh(axis: str = DATA_AXIS) -> Mesh:
+    """1-D mesh over ALL global devices (every process's chips).
+
+    Multi-host: device order is chosen host-major via
+    `mesh_utils.create_hybrid_device_mesh`, so a sharded axis keeps
+    each host's block contiguous — point/observation shards stay on
+    the host that loaded them and the per-matvec [M,6] psums become a
+    hierarchical ICI reduce + small DCN exchange (XLA handles the
+    decomposition given this ordering).  Single-process: identical to
+    make_mesh().
+    """
+    if jax.process_count() == 1:
+        return make_mesh(axis=axis)
+    from jax.experimental import mesh_utils
+
+    n_local = jax.local_device_count()
+    n_total = jax.device_count()
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(n_local,),
+        dcn_mesh_shape=(n_total // n_local,),
+    )
+    return Mesh(devices.reshape(-1), (axis,))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

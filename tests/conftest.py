@@ -21,6 +21,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(42)
+@pytest.fixture()
+def rng(request):
+    # Deterministic PER-TEST stream: the old session-scoped generator
+    # made every test's draws depend on which tests ran before it
+    # (order/selection-dependent failures).
+    seed = int.from_bytes(request.node.name.encode(), "little") % (2**31)
+    return np.random.default_rng(seed)

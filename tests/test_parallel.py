@@ -117,3 +117,16 @@ def test_partition_problem_roundtrip(rng):
     orig = {(int(c), int(p)) for c, p in zip(np.asarray(prob.cam_idx), np.asarray(prob.pt_idx))}
     new = {(int(c), int(p)) for c, p in zip(np.asarray(prob_sh.cam_idx)[m], gpt[m])}
     assert orig == new
+
+
+def test_dist_ba_dense_solver_matches_cg(mesh):
+    # Both distributed solvers must land at the same optimum; dense
+    # psums [M,6,M,6] once per LM iter, CG psums [M,6] per matvec.
+    rng2 = np.random.default_rng(5)
+    prob, R0, t0, X0 = _ba_problem(rng2)
+    X_sh, prob_sh = dist_ba.partition_problem(prob, X0, 8)
+    args = (jnp.asarray(R0), jnp.asarray(t0), X_sh, prob_sh, mesh)
+    _, _, _, c_cg = dist_ba.run_dist_ba(*args, iters=12, solver="cg")
+    _, _, _, c_de = dist_ba.run_dist_ba(*args, iters=12, solver="dense")
+    assert float(c_cg[-1]) < float(c_cg[0]) * 0.1
+    assert abs(float(c_cg[-1]) - float(c_de[-1])) < 0.1 * float(c_de[-1]) + 1e-6

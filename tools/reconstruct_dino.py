@@ -1,0 +1,151 @@
+"""Full dino-sequence reconstruction: all 37 turntable frames.
+
+The reference ships data/dino/viff.000..036.ppm (36 views, ~10 deg
+turntable steps) but only ever reconstructs ONE pair
+(reference src/main.cpp:251-252).  This tool reconstructs the full
+sequence with the incremental pipeline + distributed-capable BA and
+reports turntable-consistency metrics:
+
+  * per-step relative rotation angles (ideal: ~10 deg each)
+  * total swept rotation (ideal: ~360 * 36/37 deg)
+  * circle-fit RMS of camera centers / fitted radius (turntable
+    cameras lie on a circle; dimensionless, gauge-invariant)
+  * mean reprojection error over all retained observations
+
+Usage:
+  python tools/reconstruct_dino.py [--frames N] [--step S] [--cpu]
+      [--out /tmp/dino_seq] [--pts-per-octave K]
+
+Writes <out>.ply and <out>.metrics.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def circle_fit_metrics(centers: np.ndarray) -> dict:
+    """Fit a plane + circle to camera centers; return relative RMS."""
+    c0 = centers.mean(0)
+    X = centers - c0
+    # plane normal = smallest right singular vector
+    _, _, Vt = np.linalg.svd(X, full_matrices=False)
+    n = Vt[-1]
+    u, v = Vt[0], Vt[1]
+    p = np.stack([X @ u, X @ v], 1)  # in-plane coords
+    # algebraic circle fit (Kasa): |p - c|^2 = r^2
+    A = np.concatenate([2 * p, np.ones((len(p), 1))], 1)
+    b = (p ** 2).sum(1)
+    sol, *_ = np.linalg.lstsq(A, b, rcond=None)
+    cx, cy, k = sol
+    r = math.sqrt(max(k + cx * cx + cy * cy, 1e-12))
+    radial = np.sqrt(((p - [cx, cy]) ** 2).sum(1))
+    oop = X @ n  # out-of-plane offsets
+    return {
+        "radius": float(r),
+        "radial_rms_rel": float(np.sqrt(((radial - r) ** 2).mean()) / r),
+        "out_of_plane_rms_rel": float(np.sqrt((oop ** 2).mean()) / r),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=37)
+    ap.add_argument("--step", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="/tmp/dino_seq")
+    ap.add_argument("--pts-per-octave", type=int, default=512)
+    ap.add_argument("--ba-iters", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from sfm_tpu.config import SiftConfig, PipelineConfig, RansacConfig
+    from sfm_tpu.io.image_io import load_gray, save_ply
+    from sfm_tpu.models import incremental
+
+    idxs = list(range(0, args.frames, args.step))
+    paths = [f"/root/reference/data/dino/viff.{i:03d}.ppm" for i in idxs]
+    imgs = [jnp.asarray(load_gray(p)) for p in paths]
+    h, w = imgs[0].shape
+    K = np.array(
+        [[2360.0, 0, w / 2], [0, 2360.0, h / 2], [0, 0, 1]], np.float32
+    )
+    cfg = PipelineConfig(
+        sift=SiftConfig(max_pts_per_octave=args.pts_per_octave),
+        ransac=RansacConfig(n_hyps=1024, threshold=3e-6, chunk=256),
+    )
+    t0 = time.time()
+    res = incremental.run_incremental(
+        imgs, K, cfg, ba_iters=args.ba_iters, seed=args.seed
+    )
+    st = res.state
+    elapsed = time.time() - t0
+
+    R = np.array(st.R)
+    t = np.array(st.t)
+    M = len(imgs)
+    angles = []
+    for i in range(1, M):
+        dR = R[i] @ R[i - 1].T
+        angles.append(
+            math.degrees(math.acos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        )
+    centers = np.einsum("mji,mj->mi", R, -t)  # C = -R^T t
+    circ = circle_fit_metrics(centers) if M >= 5 else {}
+    metrics = {
+        "frames": M,
+        "step_deg_ideal": 10.0 * args.step,
+        "angles_deg": [round(a, 3) for a in angles],
+        "angle_mean_deg": float(np.mean(angles)),
+        "angle_std_deg": float(np.std(angles)),
+        "total_rotation_deg": float(np.sum(angles)),
+        "poses_valid": int(np.array(st.pose_valid).sum()),
+        "n_points": int(st.n_points),
+        "mean_reproj_norm2": float(res.mean_reproj),
+        "mean_reproj_px": math.sqrt(max(float(res.mean_reproj), 0) / 2)
+        * 2360.0,
+        "elapsed_s": round(elapsed, 1),
+        **circ,
+    }
+    X = np.array(st.X)
+    valid = np.array(st.X_valid)
+    # Drop far-field stragglers for the viewable cloud.
+    if valid.any():
+        med = np.median(np.abs(X[valid]), axis=0)
+        keep = valid & (np.abs(X) < 20 * (med + 1e-6)).all(1)
+    else:
+        keep = valid
+    n_written = save_ply(args.out + ".ply", X, valid=keep)
+    metrics["ply_vertices"] = int(n_written)
+    with open(args.out + ".metrics.json", "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps(metrics, indent=1))
+
+
+if __name__ == "__main__":
+    main()
