@@ -74,3 +74,10 @@ class PipelineConfig:
     match: MatchConfig = MatchConfig()
     ransac: RansacConfig = RansacConfig()
     refine_iters: int = 10       # on-manifold pose refinement (beyond reference)
+    # Compact correspondences to this many slots before the geometry
+    # program (valid entries first).  The keypoint capacity is
+    # num_octaves * 2 * max_pts_per_octave slots (10240 in the bench
+    # config) while a real pair yields ~1.2k matches, so RANSAC
+    # scoring / triangulation over raw slots wastes ~8x of their
+    # bandwidth.  0 disables (geometry runs at full capacity).
+    geometry_cap: int = 2048

@@ -117,9 +117,21 @@ def _match_stage(s1, s2, cfg: PipelineConfig):
         s1.descriptors, s2.descriptors, s1.keypoints.valid, s2.keypoints.valid,
         cfg.match,
     )
-    return gather_correspondences(
+    uv1, uv2, mask = gather_correspondences(
         s1.keypoints, s1.descriptors, s2.keypoints, s2.descriptors, m
     )
+    # Compact valid correspondences to the front and cap the slot count
+    # the geometry program sees: RANSAC scoring and triangulation cost
+    # O(slots), and the raw keypoint capacity is ~8x the real match
+    # count.  Matches beyond the cap (never hit on real imagery at the
+    # default configs) are dropped, not corrupted — mask stays honest.
+    cap = cfg.geometry_cap
+    if cap and cap < mask.shape[0]:
+        from sfm_tpu.ops.compact import compaction_order
+
+        order = compaction_order(mask)[:cap]
+        uv1, uv2, mask = uv1[order], uv2[order], mask[order]
+    return uv1, uv2, mask
 
 
 def frontend_stage(img1, img2, cfg: PipelineConfig = PipelineConfig()):

@@ -129,13 +129,22 @@ def main():
     if want("geometry"):
         s1 = frontend.extract_sift(img1, cfg.sift)
         s2 = frontend.extract_sift(img2, cfg.sift)
-        uv1, uv2, mask = two_view._match_stage(s1, s2, cfg)
-        jax.block_until_ready((uv1, uv2, mask))
         key = jax.random.PRNGKey(0)
-        chain_stage(
-            lambda: two_view.two_view_geometry(key, uv1, uv2, mask, K, cfg).points,
-            "geometry",
-        )
+        # A/B: correspondence compaction cap vs full keypoint capacity.
+        import dataclasses as _dc
+
+        for label, c in (
+            ("geometry[cap]", cfg),
+            ("geometry[full]", _dc.replace(cfg, geometry_cap=0)),
+        ):
+            uv1, uv2, mask = two_view._match_stage(s1, s2, c)
+            jax.block_until_ready((uv1, uv2, mask))
+            chain_stage(
+                lambda c=c, uv1=uv1, uv2=uv2, mask=mask: two_view.two_view_geometry(
+                    key, uv1, uv2, mask, K, c
+                ).points,
+                label,
+            )
 
     if want("pipeline"):
         keys = [jax.random.PRNGKey(i) for i in range(16)]
