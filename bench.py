@@ -23,8 +23,18 @@ def log(*args):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: the full-pipeline first compile
+    # through the relay measured 339 s in r1; cached reruns skip it.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover - old jax
+        log(f"compilation cache unavailable: {e}")
 
     from sfm_tpu.config import SiftConfig, PipelineConfig, RansacConfig
     from sfm_tpu.io.image_io import load_gray
@@ -84,6 +94,19 @@ def main():
         _ = float(sum(outs))
         best = min(best, max(0.0, (time.time() - t0) * 1000.0 - rtt) / N)
     ms = best
+
+    # Opt-in profiler trace (SURVEY.md §5 tracing equivalent): set
+    # SFM_TPU_PROFILE=/some/dir to capture a jax.profiler trace of one
+    # amortized batch for TensorBoard / xprof.
+    trace_dir = os.environ.get("SFM_TPU_PROFILE")
+    if trace_dir:
+        try:
+            with jax.profiler.trace(trace_dir):
+                outs = [run(i).reproj_err for i in range(N)]
+                _ = float(sum(outs))
+            log(f"profiler trace written to {trace_dir}")
+        except Exception as e:
+            log(f"profiler trace failed: {e}")
 
     baseline_ms = 47.0
     print(

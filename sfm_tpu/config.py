@@ -27,6 +27,11 @@ class SiftConfig:
     laplace_radius: int = 4      # LAPLACE_R (cudaSiftD.h:40)
     lowpass_radius: int = 4      # LOWPASS_R (cudaSiftD.h:44)
     use_pallas: bool | None = None  # None = auto (Pallas kernels on TPU)
+    # Slot cap for the sampling stage (orientation/descriptor kernels
+    # and the descriptor matmuls downstream all scale with SLOTS): the
+    # per-octave top-k capacities sum to num_octaves*max_pts_per_octave
+    # but real images fill a fraction.  0 = no cap.
+    sample_cap: int = 2048
     # Pyramid blur as banded matmuls instead of grouped convs: the conv
     # path is overhead-bound on TPU (~9 ms/image for ~120 MFLOP); the
     # matmul path rides the MXU.  None = auto (matmul on TPU).

@@ -67,6 +67,27 @@ def _count_chunk(E_chunk, x1, x2, mask, threshold):
     return jnp.sum((r < threshold) & mask[None, :], axis=-1).astype(jnp.int32)
 
 
+def build_hypothesis_bank(key, x1, x2, mask, *, n_hyps: int, sweeps: int = 10):
+    """Sample minimal sets and solve the whole 8-point bank at once.
+
+    Shared by the estimator and the debug/parity dump (utils.debug):
+    same key -> bit-identical bank.  Returns (E_bank [R,3,3],
+    idx [R,8], A [R,8,9], T1, T2).
+    """
+    T1 = epipolar.normalizing_transform(x1, mask)
+    T2 = epipolar.normalizing_transform(x2, mask)
+    x1n = x1 @ T1.T
+    x2n = x2 @ T2.T
+    idx = sample_minimal_sets(key, mask, n_hyps)  # [R, 8]
+    A = epipolar.eight_point_matrix(x1n[idx], x2n[idx])
+    e = linalg.qr_nullvec(A)
+    E_hat = e.reshape(-1, 3, 3)
+    E_bank = linalg.project_to_essential(
+        epipolar.denormalize_E(E_hat, T1, T2), sweeps=sweeps
+    )
+    return E_bank, idx, A, T1, T2
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_hyps", "chunk", "sweeps", "refit_iters"),
@@ -101,18 +122,13 @@ def ransac_essential(
 
     # Hartley-normalize once globally: all hypotheses share T1/T2, and
     # estimated matrices are denormalized before essential projection.
-    T1 = epipolar.normalizing_transform(x1, mask)
-    T2 = epipolar.normalizing_transform(x2, mask)
+    # Shared with the debug/parity dump (utils.debug) so the dumped bank
+    # is bit-identical to the production one.
+    E_bank, _, _, T1, T2 = build_hypothesis_bank(
+        key, x1, x2, mask, n_hyps=n_hyps, sweeps=sweeps
+    )
     x1n = x1 @ T1.T
     x2n = x2 @ T2.T
-
-    idx = sample_minimal_sets(key, mask, n_hyps)  # [R, 8]
-    A = epipolar.eight_point_matrix(x1n[idx], x2n[idx])
-    e = linalg.qr_nullvec(A)
-    E_hat = e.reshape(-1, 3, 3)
-    E_bank = linalg.project_to_essential(
-        epipolar.denormalize_E(E_hat, T1, T2), sweeps=sweeps
-    )
 
     n_chunks = -(-n_hyps // chunk)
     pad = n_chunks * chunk - n_hyps

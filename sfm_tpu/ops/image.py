@@ -111,7 +111,7 @@ def _band_matrix_cached(n: int, taps_key: bytes, K: int) -> np.ndarray:
     return band_matrix_np(n, bank)
 
 
-def blur_bank_matmul(img, taps_bank=None, mats=None):
+def blur_bank_matmul(img, taps_bank=None, mats=None, precision=None):
     """blur_bank as two banded MATMULS: [B,H,H] @ img @ [B,W,W]^T.
 
     On TPU the grouped-conv formulation is overhead-bound (~1.3 ms per
@@ -144,6 +144,41 @@ def scale_down(img, variance: float = 0.5):
     taps = jnp.asarray(gaussian_kernel(2, variance))
     out = _sep_conv(img[None], taps[None], taps[None])[0]
     return out[0::2, 0::2]
+
+
+def decimating_band_matrix_np(n: int, taps: np.ndarray) -> np.ndarray:
+    """[n//2, n] blur+2x-decimate matrix (scale_down as one matmul).
+
+    Row i holds `taps` centered at source 2*i with edge-clamp folding —
+    identical semantics to scale_down's conv + [0::2] slice.  On this
+    backend each tiny scale_down conv costs ~0.8 ms of per-op overhead
+    (r2 measurement: the 4-step chain alone was 3.2 of the pyramid's
+    5.9 ms); as matmuls the chain rides the same MXU path as the blur
+    bank."""
+    taps = np.asarray(taps, np.float32)
+    K = taps.shape[0]
+    r = K // 2
+    m = n // 2
+    M = np.zeros((m, n), np.float32)
+    rows = np.arange(m)
+    for k in range(K):
+        src = np.clip(2 * rows + (k - r), 0, n - 1)
+        np.add.at(M, (rows, src), taps[k])
+    return M
+
+
+@functools.lru_cache(maxsize=64)
+def _decim_matrix_cached(n: int, taps_key: bytes) -> np.ndarray:
+    return decimating_band_matrix_np(n, np.frombuffer(taps_key, np.float32))
+
+
+def scale_down_matmul(img, mats):
+    """scale_down as two decimating banded matmuls.
+
+    mats: (Dc [H//2, H], Dr [W//2, W]) device arrays (see
+    pyramid.pyramid_band_mats)."""
+    Dc, Dr = mats
+    return (Dc @ img) @ Dr.T
 
 
 def scale_up(img):

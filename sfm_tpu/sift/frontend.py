@@ -232,7 +232,20 @@ def _sample_stage(atlas, offsets, subs, dets, cfg: SiftConfig,
         [jnp.full(d.x.shape, off, jnp.float32) for d, off in zip(dets, offsets)]
     )
 
-    order = compaction_order(valid_a)
+    # Cap the slot count the sampling kernels see: per-octave detection
+    # capacity sums to num_octaves * max_pts_per_octave slots, but real
+    # images fill a fraction of them, and the fused kernel's grid (and
+    # every downstream [K,128] matmul) scales with SLOTS, not with
+    # keypoints.  When the cap binds, keep the GLOBALLY strongest
+    # detections (|interpolated DoG response|) across octaves — a plain
+    # front-compaction would drop whole coarse octaves (concat order).
+    cap = cfg.sample_cap
+    if cap and cap < valid_a.shape[0]:
+        strength = jnp.where(valid_a, jnp.abs(sharp_a), -1.0)
+        _, order = jax.lax.top_k(strength, cap)
+        order = order.astype(jnp.int32)
+    else:
+        order = compaction_order(valid_a)
     x_a, y_a, sc_a, sharp_a, edge_a, valid_a, oct_a, sub_a, off_a = (
         a[order]
         for a in (x_a, y_a, sc_a, sharp_a, edge_a, valid_a, oct_a, sub_a, off_a)

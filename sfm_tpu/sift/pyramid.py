@@ -93,13 +93,19 @@ def pyramid_band_mats(shape, cfg: SiftConfig):
     H, W = shape
     if cfg.up_scale:
         H, W = 2 * H, 2 * W
+    sd_taps = imops.gaussian_kernel(2, 0.5).astype(np.float32)
+    sd_key = sd_taps.tobytes()
     mats = []
     for o in range(cfg.num_octaves):
         bank = octave_kernel_bank(cfg, o)
         key = bank.astype(np.float32).tobytes()
         Bc = jnp.asarray(imops._band_matrix_cached(H, key, bank.shape[1]))
         Br = jnp.asarray(imops._band_matrix_cached(W, key, bank.shape[1]))
-        mats.append((Bc, Br))
+        # Decimating matrices producing the NEXT octave's base (unused
+        # on the last octave but kept for a uniform pytree).
+        Dc = jnp.asarray(imops._decim_matrix_cached(H, sd_key))
+        Dr = jnp.asarray(imops._decim_matrix_cached(W, sd_key))
+        mats.append((Bc, Br, Dc, Dr))
         H, W = H // 2, W // 2
     return tuple(mats)
 
@@ -108,7 +114,7 @@ def build_octave(base, cfg: SiftConfig, octave_index: int, subsampling: float,
                  mats=None) -> Octave:
     bank = octave_kernel_bank(cfg, octave_index)
     if mats is not None:
-        blurred = imops.blur_bank_matmul(base, mats=mats)  # [S+3, H, W]
+        blurred = imops.blur_bank_matmul(base, mats=mats[:2])  # [S+3, H, W]
     else:
         blurred = imops.blur_bank(base, bank)    # [S+3, H, W]
     dog = blurred[1:] - blurred[:-1]             # [S+2, H, W]
@@ -138,6 +144,9 @@ def build_pyramid(img, cfg: SiftConfig, mats=None) -> list:
             build_octave(base, cfg, o, sub, mats[o] if mats else None)
         )
         if o + 1 < cfg.num_octaves:
-            base = imops.scale_down(base, 0.5)
+            if mats is not None and len(mats[o]) >= 4:
+                base = imops.scale_down_matmul(base, mats[o][2:])
+            else:
+                base = imops.scale_down(base, 0.5)
             sub *= 2.0
     return octaves

@@ -221,6 +221,23 @@ def test_blur_bank_matmul_matches_conv():
     assert np.abs(a - b).max() < 1e-3, np.abs(a - b).max()
 
 
+def test_scale_down_matmul_matches_conv():
+    # The decimating banded-matmul scale_down (TPU pyramid path) must
+    # match the conv+slice path exactly (same taps, clamp semantics).
+    import jax.numpy as jnp
+    from sfm_tpu.ops import image as imops
+
+    rng2 = np.random.default_rng(7)
+    img = jnp.asarray(rng2.normal(size=(64, 90)).astype(np.float32) * 30 + 90)
+    taps = imops.gaussian_kernel(2, 0.5)
+    Dc = jnp.asarray(imops.decimating_band_matrix_np(64, taps))
+    Dr = jnp.asarray(imops.decimating_band_matrix_np(90, taps))
+    a = np.array(imops.scale_down(img))
+    b = np.array(imops.scale_down_matmul(img, (Dc, Dr)))
+    assert a.shape == b.shape == (32, 45)
+    assert np.abs(a - b).max() < 1e-4, np.abs(a - b).max()
+
+
 def test_frontend_pallas_path_matches_xla_path():
     # The fused-kernel frontend (TPU path, interpret-mode on CPU) must
     # produce the same keypoints and near-identical descriptors as the

@@ -89,15 +89,67 @@ def main():
     if want("batch2"):
         imgs = jnp.stack([img1, img2])
         timeit(lambda: frontend._detect_stage_batch(imgs, cfg, mats), "batch2", n=6)
+    if want("prec"):
+        # Matmul-blur precision ladder (MXU passes: bf16=1, f32=6-ish).
+        for prec in ("BF16_BF16_F32_X3", "float32"):
+            with jax.default_matmul_precision(prec):
+                timeit(lambda: pyr_only(img1, cfg, mats), f"pyr[{prec}]")
     if want("sample"):
+        import dataclasses as _dc
+
         offsets, subs = frontend.atlas_layout(img1.shape, cfg)
         atlas, dets = frontend._detect_stage(img1, cfg, mats)
         jax.block_until_ready((atlas, dets))
-        timeit(lambda: frontend._sample_stage(atlas, offsets, subs, dets, cfg, True),
-               "sample[fused]")
+        for cap in (0, 2048, 1024):
+            c = _dc.replace(cfg, sample_cap=cap)
+            timeit(
+                lambda c=c: frontend._sample_stage(
+                    atlas, offsets, subs, dets, c, True
+                ),
+                f"sample[cap={cap or 'off'}]",
+            )
     if want("extract2"):
         timeit(lambda: (frontend.extract_sift(img1, cfg),
                         frontend.extract_sift(img2, cfg)), "extract2", n=6)
+    if want("scaling"):
+        # Pyramid cost vs octave count: linear-in-octaves => fixed
+        # per-op overhead dominates (small octaves cost like big ones).
+        for no in (1, 2, 3, 5):
+            c = SiftConfig(max_pts_per_octave=1024, num_octaves=no)
+            m = frontend._mats_for(img1.shape, c)
+            timeit(lambda c=c, m=m: pyr_only(img1, c, m), f"pyr[oct={no}]")
+        # Raw octave-0 matmul pair (the irreducible MXU work).
+        Bc, Br = mats[0]
+        @jax.jit
+        def raw(img):
+            t = jnp.einsum("bij,jw->biw", Bc, img)
+            return jnp.einsum("bhw,bxw->bhx", t, Br)
+        timeit(lambda: raw(img1), "raw-oct0-matmuls")
+        # And the scale_down chain alone.
+        @functools.partial(jax.jit, static_argnames=("no",))
+        def sd_chain(img, no):
+            outs = [img]
+            for _ in range(no - 1):
+                outs.append(pyramid.imops.scale_down(outs[-1], 0.5)
+                            if hasattr(pyramid, "imops") else None)
+            return outs[-1]
+        from sfm_tpu.ops import image as imops
+        @jax.jit
+        def sd4(img):
+            x = img
+            for _ in range(4):
+                x = imops.scale_down(x, 0.5)
+            return x
+        timeit(lambda: sd4(img1), "scaledown-chain")
+    if want("quality"):
+        # TPU-vs-reference sanity: keypoint counts along the real paths.
+        for name, c in (
+            ("matmul+pallas", cfg),
+            ("conv+pallas", SiftConfig(max_pts_per_octave=1024, blur_matmul=False)),
+        ):
+            r = frontend.extract_sift(img1, c)
+            print(f"quality[{name}]: {int(np.asarray(r.keypoints.valid).sum())} kps",
+                  flush=True)
 
 
 if __name__ == "__main__":
