@@ -196,10 +196,17 @@ def detect(dog, cfg: SiftConfig, subsampling: float) -> Detections:
     # anyway; we keep the strongest.
     resp_px = jnp.max(response, axis=0)            # [H, W]
     s_sel = jnp.argmax(response, axis=0)           # [H, W]
+    # Coarse octaves can have fewer pixels than the slot capacity
+    # (e.g. 32K-class configs, tools/bench_capacity.py): clamp the
+    # selection and pad back to K invalid slots.
+    k_eff = min(K, H * W)
     if cfg.exact_topk:
-        scores, flat_idx = jax.lax.top_k(resp_px.reshape(-1), K)
+        scores, flat_idx = jax.lax.top_k(resp_px.reshape(-1), k_eff)
     else:
-        scores, flat_idx = jax.lax.approx_max_k(resp_px.reshape(-1), K)
+        scores, flat_idx = jax.lax.approx_max_k(resp_px.reshape(-1), k_eff)
+    if k_eff < K:
+        scores = jnp.pad(scores, (0, K - k_eff), constant_values=-1.0)
+        flat_idx = jnp.pad(flat_idx, (0, K - k_eff))
     s_idx = jnp.take(s_sel.reshape(-1), flat_idx)
     y_idx = flat_idx // W
     x_idx = flat_idx % W

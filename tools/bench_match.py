@@ -33,15 +33,29 @@ def main():
     d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
     flops = 2.0 * n1 * n2 * 128
 
-    for dtype, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+    from sfm_tpu.ops.pallas_match import match_top2_pallas
+
+    variants = [
+        ("xla-f32", lambda a, b: match_descriptors_top2(a, b, chunk=4096),
+         jnp.float32),
+        ("xla-bf16", lambda a, b: match_descriptors_top2(a, b, chunk=4096),
+         jnp.bfloat16),
+        ("pallas-bf16", lambda a, b: match_top2_pallas(a, b, bf16=True),
+         jnp.float32),
+    ]
+    for name, fn, dtype in variants:
         a = jnp.asarray(d1, dtype)
         b = jnp.asarray(d2, dtype)
 
         def run():
-            return match_descriptors_top2(a, b, chunk=4096)
+            return fn(a, b)
 
-        best, second, idx = run()
-        _ = float(jnp.sum(best[:1].astype(jnp.float32)))  # sync
+        try:
+            best, second, idx = run()
+            _ = float(jnp.sum(best[:1].astype(jnp.float32)))  # sync
+        except Exception as e:  # pragma: no cover - backend-specific
+            print(f"{name}: unavailable ({type(e).__name__})")
+            continue
         t_best = float("inf")
         for _ in range(3):
             t0 = time.time()

@@ -66,6 +66,13 @@ def main():
     ap.add_argument("--pts-per-octave", type=int, default=512)
     ap.add_argument("--ba-iters", type=int, default=30)
     ap.add_argument("--seed", type=int, default=0)
+    # Intrinsics overrides: the reference hard-codes f=2360 centered
+    # (src/main.cpp:292-297); the published VGG dinosaur calibration is
+    # fx=3310.4 fy=3325.5 c=(316.7, 200.6).
+    ap.add_argument("--fx", type=float, default=2360.0)
+    ap.add_argument("--fy", type=float, default=0.0, help="0 = same as fx")
+    ap.add_argument("--cx", type=float, default=-1.0, help="<0 = w/2")
+    ap.add_argument("--cy", type=float, default=-1.0, help="<0 = h/2")
     args = ap.parse_args()
 
     if args.cpu:
@@ -92,9 +99,11 @@ def main():
     paths = [f"/root/reference/data/dino/viff.{i:03d}.ppm" for i in idxs]
     imgs = [jnp.asarray(load_gray(p)) for p in paths]
     h, w = imgs[0].shape
-    K = np.array(
-        [[2360.0, 0, w / 2], [0, 2360.0, h / 2], [0, 0, 1]], np.float32
-    )
+    fx = args.fx
+    fy = args.fy if args.fy > 0 else fx
+    cx = args.cx if args.cx >= 0 else w / 2
+    cy = args.cy if args.cy >= 0 else h / 2
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
     cfg = PipelineConfig(
         sift=SiftConfig(max_pts_per_octave=args.pts_per_octave),
         ransac=RansacConfig(n_hyps=1024, threshold=3e-6, chunk=256),
