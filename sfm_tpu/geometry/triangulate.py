@@ -82,3 +82,54 @@ def reprojection_errors(X, x1, x2, R, t):
     e1 = jnp.sum((p1 - x1[..., :2] / x1[..., 2:3]) ** 2, axis=-1)
     e2 = jnp.sum((p2 - x2[..., :2] / x2[..., 2:3]) ** 2, axis=-1)
     return e1 + e2
+
+
+def triangulate_tracks(R, t, cam_idx, pt_idx, uv_n, mask, n_points: int,
+                       *, w_clamp: float = 5.0):
+    """Multiview linear triangulation over a flat observation list.
+
+    Extends the reference's strictly two-view DLT (SfM/sfm.cu:309-344)
+    to arbitrary-length tracks: each observation contributes the two
+    cross-product rows x_h x (R X + t) = 0 and the per-point 3x3 normal
+    systems accumulate by segment-sum — one batched solve for ALL
+    points, no per-track loop (TPU-friendly scatter-add + vmapped
+    solve).
+
+    Args:
+      R, t: [M, 3, 3] / [M, 3] world->camera poses.
+      cam_idx, pt_idx: [O] observation incidence.
+      uv_n: [O, 2] NORMALIZED image coordinates.
+      mask: [O] validity.
+      n_points: static point capacity P.
+
+    Returns (X [P, 3], ok [P]) where ok requires >= 2 masked
+    observations and a finite solve.
+    """
+    O = uv_n.shape[0]
+    Rj = R[cam_idx]
+    tj = t[cam_idx]
+    x = jnp.concatenate([uv_n, jnp.ones((O, 1), uv_n.dtype)], axis=1)
+
+    def rows(xh, Rc, tc):
+        return (
+            jnp.stack([xh[0] * Rc[2] - Rc[0], xh[1] * Rc[2] - Rc[1]]),
+            jnp.stack([xh[0] * tc[2] - tc[0], xh[1] * tc[2] - tc[1]]),
+        )
+
+    Ar, br = jax.vmap(rows)(x, Rj, tj)            # [O,2,3], [O,2]
+    Ar = Ar * mask.astype(uv_n.dtype)[:, None, None]
+    br = br * mask.astype(uv_n.dtype)[:, None]
+    AtA = jnp.zeros((n_points, 3, 3), uv_n.dtype).at[pt_idx].add(
+        jnp.einsum("oki,okj->oij", Ar, Ar)
+    )
+    Atb = jnp.zeros((n_points, 3), uv_n.dtype).at[pt_idx].add(
+        jnp.einsum("oki,ok->oi", Ar, -br)
+    )
+    nobs = jnp.zeros((n_points,), uv_n.dtype).at[pt_idx].add(
+        mask.astype(uv_n.dtype)
+    )
+    X = jnp.linalg.solve(
+        AtA + 1e-6 * jnp.eye(3, dtype=uv_n.dtype)[None], Atb[:, :, None]
+    )[:, :, 0]
+    ok = (nobs >= 2) & jnp.isfinite(X).all(axis=1)
+    return jnp.where(ok[:, None], X, 0.0), ok
