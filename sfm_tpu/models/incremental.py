@@ -213,6 +213,7 @@ def run_incremental(
     n_back: int = 3,
     closure_pairs=(),
     mesh=None,
+    feats=None,
 ):
     """Full incremental reconstruction over a list of [H, W] images.
 
@@ -226,7 +227,10 @@ def run_incremental(
     K_inv = camera.inv_intrinsics(K)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_images + 1)
 
-    feats = [frontend.extract_sift(jnp.asarray(im), cfg.sift) for im in images]
+    if feats is None:
+        feats = [
+            frontend.extract_sift(jnp.asarray(im), cfg.sift) for im in images
+        ]
     kp_cap = feats[0].keypoints.x.shape[0]
     if pt_capacity is None:
         pt_capacity = n_images * kp_cap // 4

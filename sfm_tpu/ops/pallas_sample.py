@@ -106,11 +106,13 @@ def _atan2(y, x):
 
 
 def _pad_for_kernel(img, P):
-    """Pad to H multiple of 8 and >= P+8, W >= P (edge replicate), so
-    the kernel's aligned row slices are always in bounds."""
+    """Pad to H multiple of 8 and >= P+8, W a multiple of 128 and >= P
+    (edge replicate): 8-aligned sublane slices stay in bounds and the
+    lane dimension is rotate-aligned (tpu.dynamic_rotate requires a
+    lane-aligned shape)."""
     H, W = img.shape
     Hp = max(-(-H // 8) * 8, P + 8)
-    Wp = max(W, P)
+    Wp = max(-(-W // 128) * 128, P)
     if Hp != H or Wp != W:
         img = jnp.pad(img, ((0, Hp - H), (0, Wp - W)), mode="edge")
     return img
@@ -121,10 +123,11 @@ def _load_patch(img_ref, x0, y0, P):
 
     Dynamic slices on the sublane (row) dim must be 8-aligned and the
     lane (column) dim cannot be dynamically sliced, so we slice
-    8-aligned rows across the FULL width and crop columns with a
-    one-hot matmul (an MXU op, not a gather).  Returns (patch, dy)
-    where dy in [0, 8] is the row offset of the requested origin
-    inside the patch.
+    8-aligned rows across the FULL width, rotate columns so x0 lands at
+    lane 0 (tpu.dynamic_rotate — NOTE: the shift must be NON-NEGATIVE;
+    negative dynamic shifts miscompile on v5e, measured r2), then crop
+    statically.  Returns (patch, dy) where dy in [0, 8] is the row
+    offset of the requested origin inside the patch.
     """
     H, W = img_ref.shape
     rows_n = P + 8
@@ -132,10 +135,8 @@ def _load_patch(img_ref, x0, y0, P):
     y0a = jnp.maximum(y0a, 0)
     y0a = pl.multiple_of(y0a, 8)
     rows = img_ref[pl.ds(y0a, rows_n), :]          # [P+8, W]
-    colpos = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0)
-    sel = jax.lax.broadcasted_iota(jnp.int32, (W, P), 1) + x0
-    OH = jnp.where(colpos == sel, 1.0, 0.0)
-    patch = jnp.dot(rows, OH, preferred_element_type=jnp.float32)  # [P+8, P]
+    rolled = pltpu.roll(rows, shift=jax.lax.rem(W - x0, W), axis=1)
+    patch = rolled[:, :P]                          # [P+8, P]
     return patch, (y0 - y0a).astype(jnp.float32)
 
 
@@ -153,6 +154,10 @@ def _sample_matmul(patch, px, py, P):
     idx_c = jax.lax.broadcasted_iota(jnp.int32, (S, P), 1).astype(jnp.float32)
     A = jnp.maximum(0.0, 1.0 - jnp.abs(py - idx_r))  # [S, rows_n]
     B = jnp.maximum(0.0, 1.0 - jnp.abs(px - idx_c))  # [S, P]
+    # NOTE: keep f32 — the consumers take central differences of the
+    # sampled values, and bf16 input rounding (~0.4% of the ~100-scale
+    # intensities) wipes out the small gradients (parity error > 1e3
+    # on weak histogram bins, measured r2).
     tmp = jnp.dot(A, patch, preferred_element_type=jnp.float32)  # [S, P]
     return jnp.sum(tmp * B, axis=1, keepdims=True)   # [S, 1]
 

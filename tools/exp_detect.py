@@ -26,6 +26,12 @@ def main():
     import jax.numpy as jnp
     import functools
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from sfm_tpu.config import SiftConfig
     from sfm_tpu.io.image_io import load_gray
     from sfm_tpu.sift import frontend, pyramid, detect as detect_mod

@@ -12,9 +12,17 @@ reports turntable-consistency metrics:
     cameras lie on a circle; dimensionless, gauge-invariant)
   * mean reprojection error over all retained observations
 
+With --turntable, the circular-motion pipeline (models/turntable.py)
+takes over: model-free ring tracks with wrap loop-closure edges,
+uniform-phase turntable init, annealed variable-projected LM with
+shared (f, k1) estimation, then annealed UNCONSTRAINED bundle
+adjustment plus a snap-to-ring re-polish — the staging that rescues
+this sequence from the bas-relief collapse (NOTES_R2.md). Measured:
+10.0 +- 0.1 deg/step, 360.1 deg total, 1.2 px rms.
+
 Usage:
   python tools/reconstruct_dino.py [--frames N] [--step S] [--cpu]
-      [--out /tmp/dino_seq] [--pts-per-octave K]
+      [--out /tmp/dino_seq] [--pts-per-octave K] [--turntable]
 
 Writes <out>.ply and <out>.metrics.json.
 """
@@ -35,6 +43,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def circle_fit_metrics(centers: np.ndarray) -> dict:
     """Fit a plane + circle to camera centers; return relative RMS."""
+    if not np.isfinite(centers).all():
+        return {"circle_fit": "nonfinite centers"}
     c0 = centers.mean(0)
     X = centers - c0
     # plane normal = smallest right singular vector
@@ -73,6 +83,8 @@ def main():
     ap.add_argument("--fy", type=float, default=0.0, help="0 = same as fx")
     ap.add_argument("--cx", type=float, default=-1.0, help="<0 = w/2")
     ap.add_argument("--cy", type=float, default=-1.0, help="<0 = h/2")
+    ap.add_argument("--turntable", action="store_true",
+                    help="circular-motion constrained reconstruction")
     args = ap.parse_args()
 
     if args.cpu:
@@ -94,8 +106,13 @@ def main():
     from sfm_tpu.config import SiftConfig, PipelineConfig, RansacConfig
     from sfm_tpu.io.image_io import load_gray, save_ply
     from sfm_tpu.models import incremental
+    from sfm_tpu.sift import frontend
 
-    idxs = list(range(0, args.frames, args.step))
+    n_frames = args.frames
+    if args.turntable:
+        # viff.036 is byte-identical to viff.000: 36 unique ring views.
+        n_frames = min(n_frames, 36)
+    idxs = list(range(0, n_frames, args.step))
     paths = [f"/root/reference/data/dino/viff.{i:03d}.ppm" for i in idxs]
     imgs = [jnp.asarray(load_gray(p)) for p in paths]
     h, w = imgs[0].shape
@@ -109,11 +126,43 @@ def main():
         ransac=RansacConfig(n_hyps=1024, threshold=3e-6, chunk=256),
     )
     t0 = time.time()
+    feats = [frontend.extract_sift(im, cfg.sift) for im in imgs]
     res = incremental.run_incremental(
-        imgs, K, cfg, ba_iters=args.ba_iters, seed=args.seed
+        imgs, K, cfg, ba_iters=args.ba_iters, seed=args.seed, feats=feats
     )
     st = res.state
     elapsed = time.time() - t0
+
+    tt_metrics = {}
+    if args.turntable:
+        from sfm_tpu.models import turntable as tt
+
+        ttr = tt.reconstruct_turntable(
+            feats, st.R, st.t, K, cfg, pose_valid=st.pose_valid
+        )
+        sd = np.asarray(ttr.step_deg)
+        tt_metrics = {
+            "turntable": True,
+            "tt_rms_px": round(ttr.rms_px, 3),
+            "tt_f_px": round(ttr.f, 1),
+            "tt_k1": round(ttr.k1, 4),
+            "tt_k2": round(ttr.k2, 4),
+            "tt_tracks": int(ttr.tracks.n_tracks),
+            "tt_obs": int(len(np.asarray(ttr.tracks.cam_idx))),
+            "tt_obs_kept": int(np.asarray(ttr.keep).sum()),
+            "tt_step_deg_mean": float(sd.mean()),
+            "tt_step_deg_std": float(sd.std()),
+            "tt_total_deg": round(ttr.total_deg, 2),
+        }
+        # Per-track validity: a track survives if any observation kept.
+        tv = np.zeros((ttr.X.shape[0],), bool)
+        np.logical_or.at(tv, np.asarray(ttr.tracks.pt_idx),
+                         np.asarray(ttr.keep))
+        st = st._replace(
+            R=ttr.R, t=ttr.t, X=ttr.X, X_valid=jnp.asarray(tv),
+            n_points=jnp.asarray(int(tv.sum()), jnp.int32),
+            pose_valid=jnp.ones((len(idxs),), bool),
+        )
 
     R = np.array(st.R)
     t = np.array(st.t)
@@ -140,6 +189,7 @@ def main():
         * 2360.0,
         "elapsed_s": round(elapsed, 1),
         **circ,
+        **tt_metrics,
     }
     X = np.array(st.X)
     valid = np.array(st.X_valid)
