@@ -75,9 +75,11 @@ def _wsp128() -> np.ndarray:
 
 
 _W_SPATIAL_128 = _wsp128()
+_W_SPATIAL_128_T = np.ascontiguousarray(_W_SPATIAL_128.T)  # [128, 256]
 _W2D_COL = (
     (_GAUSS16[:, None] * _GAUSS16[None, :]).reshape(256, 1).astype(np.float32)
 )
+_W2D_ROW = np.ascontiguousarray(_W2D_COL.reshape(1, 256))
 
 
 def _atan2(y, x):
@@ -140,41 +142,57 @@ def _load_patch(img_ref, x0, y0, P):
     return patch, (y0 - y0a).astype(jnp.float32)
 
 
-def _sample_matmul(patch, px, py, P):
-    """Bilinear-sample `patch` [P + 8, P] at S positions -> [S, 1].
+# dot_general dimension numbers for the wide (samples-in-lanes) layout.
+_DN_ROWS = (((0,), (0,)), ((), ()))   # patch [R, P] x A [R, S] -> [P, S]
+_DN_LANE = (((1,), (1,)), ((), ()))   # a [M, S]   x b [N, S] -> [M, N]
 
-    px, py: [S, 1] f32 coords in patch space (row = py, col = px),
-    clamped to valid range (replicate-border semantics).
+
+def _sample_matmul_wide(patch, px, py, P):
+    """Bilinear-sample `patch` [P + 8, P] at S positions -> [1, S].
+
+    Wide layout: px/py are [1, S] with samples in LANES.  The narrow
+    [S, 1] layout costs ~S MXU cycles per keypoint (the matmul streams
+    S rows regardless of the tiny K/N dims); this form streams only
+    P rows over ceil(S/128) tiles — 2.4x faster measured on the 2048-
+    keypoint descriptor stage (2.79 -> 1.14 ms, r2).  Coords are
+    clamped to the patch (replicate-border, matching the reference's
+    clamp-to-edge texture fetches).
     """
-    S = px.shape[0]
+    S = px.shape[1]
     rows_n = P + 8
     px = jnp.clip(px, 0.0, P - 1.0)
     py = jnp.clip(py, 0.0, rows_n - 1.0)
-    idx_r = jax.lax.broadcasted_iota(jnp.int32, (S, rows_n), 1).astype(jnp.float32)
-    idx_c = jax.lax.broadcasted_iota(jnp.int32, (S, P), 1).astype(jnp.float32)
-    A = jnp.maximum(0.0, 1.0 - jnp.abs(py - idx_r))  # [S, rows_n]
-    B = jnp.maximum(0.0, 1.0 - jnp.abs(px - idx_c))  # [S, P]
+    idx_r = jax.lax.broadcasted_iota(jnp.int32, (rows_n, S), 0).astype(jnp.float32)
+    idx_c = jax.lax.broadcasted_iota(jnp.int32, (P, S), 0).astype(jnp.float32)
+    A = jnp.maximum(0.0, 1.0 - jnp.abs(py - idx_r))  # [rows_n, S]
+    B = jnp.maximum(0.0, 1.0 - jnp.abs(px - idx_c))  # [P, S]
     # NOTE: keep f32 — the consumers take central differences of the
     # sampled values, and bf16 input rounding (~0.4% of the ~100-scale
     # intensities) wipes out the small gradients (parity error > 1e3
     # on weak histogram bins, measured r2).
-    tmp = jnp.dot(A, patch, preferred_element_type=jnp.float32)  # [S, P]
-    return jnp.sum(tmp * B, axis=1, keepdims=True)   # [S, 1]
+    tmp = jax.lax.dot_general(
+        patch, A, _DN_ROWS, preferred_element_type=jnp.float32
+    )                                                # [P, S]
+    return jnp.sum(tmp * B, axis=0, keepdims=True)   # [1, S]
 
 
-def _descriptor_one(img_ref, w2d_ref, wsp_ref, x0, y0, fx, fy, cosa, sina, scale):
-    """One unnormalized [1, 128] descriptor row.
+def _descriptor_from_patch_wide(patch, w2dw_ref, wspt_ref, fx, fy,
+                                cosa, sina, scale):
+    """One unnormalized [1, 128] descriptor from an existing patch.
 
-    (x0, y0): patch origin (ints); (fx, fy): keypoint position in
-    patch coords.  Mirrors cudaSiftD.cu:308-417 semantics.
+    Wide layout (samples in LANES): the [1024]-sample stage runs as a
+    [P, rows]x[rows, 1024] matmul, all elementwise math on [1, 256]
+    rows at full lane utilization, and the 8-bin orientation histogram
+    as a [1, 256]x[256->128] dot_general over a data-dependent one-hot
+    built directly in the [128, 256] output layout (a [16, 8]-shaped
+    hist + reshape crashes the Mosaic compiler, measured r2).
+    w2dw_ref: [1, 256] Gaussian window row; wspt_ref: [128, 256]
+    transposed spatial weights.  Mirrors cudaSiftD.cu:308-417.
     """
     P = DESC_P
-    patch, dy_off = _load_patch(img_ref, x0, y0, P)
-    fy = fy + dy_off
     sc = (12.0 / 16.0) * scale
-    # Sample index decomposition, all in [1024, 1] column layout:
     # s = grp*256 + j*16 + i  (grp: 4 finite-difference groups).
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (1024, 1), 0)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1024), 1)
     i_f = (s_idx % 16).astype(jnp.float32) - 7.5
     j_f = ((s_idx // 16) % 16).astype(jnp.float32) - 7.5
     grp = s_idx // 256
@@ -185,22 +203,33 @@ def _descriptor_one(img_ref, w2d_ref, wsp_ref, x0, y0, fx, fy, cosa, sina, scale
                    jnp.where(grp == 2, -sina, sina)))
     gy = jnp.where(grp == 0, sina, jnp.where(grp == 1, -sina,
                    jnp.where(grp == 2, cosa, -cosa)))
-    vals = _sample_matmul(patch, bx + gx, by + gy, P)  # [1024, 1]
-    dx = vals[0:256] - vals[256:512]    # [256, 1]
-    dy = vals[512:768] - vals[768:1024]
-    grad = w2d_ref[:, :] * jnp.sqrt(dx * dx + dy * dy)  # [256, 1]
+    vals = _sample_matmul_wide(patch, bx + gx, by + gy, P)  # [1, 1024]
+    dx = vals[:, 0:256] - vals[:, 256:512]    # [1, 256]
+    dy = vals[:, 512:768] - vals[:, 768:1024]
+    grad = w2dw_ref[:, :] * jnp.sqrt(dx * dx + dy * dy)  # [1, 256]
     ang = 4.0 / np.pi * _atan2(dy, dx) + 4.0
     angi = jnp.clip(jnp.floor(ang), 0.0, 7.0)
     angf = ang - angi
     angi2 = jnp.where(angi + 1.0 > 7.0, 0.0, angi + 1.0)
-    qmod8 = (
-        jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1) % 8
+    a128 = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, 256), 0) % 8
     ).astype(jnp.float32)
-    angw = jnp.where(qmod8 == angi, 1.0 - angf, 0.0) + jnp.where(
-        qmod8 == angi2, angf, 0.0
-    )  # [256, 128]
-    contrib = wsp_ref[:, :] * angw * grad  # [256, 128]
-    return jnp.sum(contrib, axis=0, keepdims=True)  # [1, 128]
+    angw = jnp.where(a128 == angi, 1.0 - angf, 0.0) + jnp.where(
+        a128 == angi2, angf, 0.0
+    )  # [128, 256]: output bin q = sp*8 + a in rows, samples in lanes
+    Z = wspt_ref[:, :] * angw  # [128, 256]
+    return jax.lax.dot_general(
+        grad, Z, _DN_LANE, preferred_element_type=jnp.float32
+    )  # [1, 128]
+
+
+def _descriptor_one(img_ref, w2dw_ref, wspt_ref, x0, y0, fx, fy, cosa, sina,
+                    scale):
+    """One unnormalized [1, 128] descriptor row (loads its own patch)."""
+    patch, dy_off = _load_patch(img_ref, x0, y0, DESC_P)
+    return _descriptor_from_patch_wide(
+        patch, w2dw_ref, wspt_ref, fx, fy + dy_off, cosa, sina, scale
+    )
 
 
 def _make_descriptor_kernel(block_k: int):
@@ -260,38 +289,47 @@ def descriptor_sample(img, x, y, scale, orientation_deg, count=None, *,
         ),
         interpret=interpret,
     )(count, x0, y0, fx, fy, cosa, sina, scale, img,
-      jnp.asarray(_W2D_COL), jnp.asarray(_W_SPATIAL_128))
+      jnp.asarray(_W2D_ROW), jnp.asarray(_W_SPATIAL_128_T))
     return out
 
 
-def _orientation_one(img_ref, x0, y0, fx, fy, inv2s2):
-    """One [1, 32] orientation histogram (cudaSiftD.cu:972-1010)."""
-    P = ORI_P
-    patch, dy_off = _load_patch(img_ref, x0, y0, P)
-    fy = fy + dy_off
-    # s = grp*121 + yd*11 + xd in [484, 1] column layout.
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (484, 1), 0)
+def _orientation_hist_from_patch_wide(patch, fx, fy, inv2s2, P):
+    """One [1, 32] orientation histogram from an existing patch, wide
+    layout (cudaSiftD.cu:972-1010; see _descriptor_from_patch_wide for
+    why samples live in lanes)."""
+    # s = grp*121 + yd*11 + xd in [1, 484] row layout.
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 484), 1)
     xd = ((s_idx % 121) % 11).astype(jnp.float32) - 5.0
     yd = ((s_idx % 121) // 11).astype(jnp.float32) - 5.0
     grp = s_idx // 121
     gx = jnp.where(grp == 0, 1.0, jnp.where(grp == 1, -1.0, 0.0))
     gy = jnp.where(grp == 2, 1.0, jnp.where(grp == 3, -1.0, 0.0))
-    vals = _sample_matmul(patch, fx + xd + gx, fy + yd + gy, P)  # [484, 1]
-    dx = vals[0:121] - vals[121:242]
-    dy = vals[242:363] - vals[363:484]
+    vals = _sample_matmul_wide(patch, fx + xd + gx, fy + yd + gy, P)  # [1,484]
+    dx = vals[:, 0:121] - vals[:, 121:242]
+    dy = vals[:, 242:363] - vals[:, 363:484]
     grad = jnp.sqrt(dx * dx + dy * dy)
-    xd0 = xd[0:121]
-    yd0 = yd[0:121]
+    xd0 = xd[:, 0:121]
+    yd0 = yd[:, 0:121]
     w = jnp.exp(inv2s2 * (xd0 * xd0 + yd0 * yd0))
     bins = jnp.floor(16.0 / np.pi * _atan2(dy, dx) + 16.5)
     bins = jnp.where(bins > 31.0, 0.0, bins)
     oh = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (121, 32), 1).astype(jnp.float32)
+        jax.lax.broadcasted_iota(jnp.int32, (32, 121), 0).astype(jnp.float32)
         == bins,
         1.0,
         0.0,
-    )
-    return jnp.sum(oh * (grad * w), axis=0, keepdims=True)  # [1, 32]
+    )  # [32, 121]
+    return jax.lax.dot_general(
+        grad * w, oh, _DN_LANE, preferred_element_type=jnp.float32
+    )  # [1, 32]
+
+
+def _orientation_one(img_ref, x0, y0, fx, fy, inv2s2):
+    """One [1, 32] orientation histogram (loads its own patch)."""
+    P = ORI_P
+    patch, dy_off = _load_patch(img_ref, x0, y0, P)
+    return _orientation_hist_from_patch_wide(patch, fx, fy + dy_off,
+                                             inv2s2, P)
 
 
 def _make_orientation_kernel(block_k: int):
@@ -374,32 +412,6 @@ def _smooth_peak_matrices() -> np.ndarray:
     return M
 
 
-def _orientation_hist_from_patch(patch, fx, fy, inv2s2, P):
-    """[1, 32] histogram sampled from an existing [P+8, P] patch."""
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (484, 1), 0)
-    xd = ((s_idx % 121) % 11).astype(jnp.float32) - 5.0
-    yd = ((s_idx % 121) // 11).astype(jnp.float32) - 5.0
-    grp = s_idx // 121
-    gx = jnp.where(grp == 0, 1.0, jnp.where(grp == 1, -1.0, 0.0))
-    gy = jnp.where(grp == 2, 1.0, jnp.where(grp == 3, -1.0, 0.0))
-    vals = _sample_matmul(patch, fx + xd + gx, fy + yd + gy, P)  # [484, 1]
-    dx = vals[0:121] - vals[121:242]
-    dy = vals[242:363] - vals[363:484]
-    grad = jnp.sqrt(dx * dx + dy * dy)
-    xd0 = xd[0:121]
-    yd0 = yd[0:121]
-    w = jnp.exp(inv2s2 * (xd0 * xd0 + yd0 * yd0))
-    bins = jnp.floor(16.0 / np.pi * _atan2(dy, dx) + 16.5)
-    bins = jnp.where(bins > 31.0, 0.0, bins)
-    oh = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (121, 32), 1).astype(jnp.float32)
-        == bins,
-        1.0,
-        0.0,
-    )
-    return jnp.sum(oh * (grad * w), axis=0, keepdims=True)  # [1, 32]
-
-
 def _peak_angle(hs, idx32):
     """Parabolic sub-bin peak -> degrees; hs [1,32], idx32 [1,1] f32."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1).astype(jnp.float32)
@@ -412,38 +424,6 @@ def _peak_angle(hs, idx32):
     peak = idx32 + 0.5 * (vp - vm) / denom
     peak = jnp.where(peak < 0.0, peak + 32.0, peak)
     return 11.25 * peak  # [1,1] degrees
-
-
-def _descriptor_from_patch(patch, w2d_ref, wsp_ref, fx, fy, cosa, sina, scale):
-    """[1, 128] raw descriptor from an existing patch; cosa/sina may be
-    [1,1] arrays (broadcast into the [1024,1] coordinate columns)."""
-    sc = (12.0 / 16.0) * scale
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (1024, 1), 0)
-    i_f = (s_idx % 16).astype(jnp.float32) - 7.5
-    j_f = ((s_idx // 16) % 16).astype(jnp.float32) - 7.5
-    grp = s_idx // 256
-    bx = fx + sc * (i_f * cosa - j_f * sina)
-    by = fy + sc * (i_f * sina + j_f * cosa)
-    gx = jnp.where(grp == 0, cosa, jnp.where(grp == 1, -cosa,
-                   jnp.where(grp == 2, -sina, sina)))
-    gy = jnp.where(grp == 0, sina, jnp.where(grp == 1, -sina,
-                   jnp.where(grp == 2, cosa, -cosa)))
-    vals = _sample_matmul(patch, bx + gx, by + gy, DESC_P)  # [1024, 1]
-    dx = vals[0:256] - vals[256:512]
-    dy = vals[512:768] - vals[768:1024]
-    grad = w2d_ref[:, :] * jnp.sqrt(dx * dx + dy * dy)
-    ang = 4.0 / np.pi * _atan2(dy, dx) + 4.0
-    angi = jnp.clip(jnp.floor(ang), 0.0, 7.0)
-    angf = ang - angi
-    angi2 = jnp.where(angi + 1.0 > 7.0, 0.0, angi + 1.0)
-    qmod8 = (
-        jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1) % 8
-    ).astype(jnp.float32)
-    angw = jnp.where(qmod8 == angi, 1.0 - angf, 0.0) + jnp.where(
-        qmod8 == angi2, angf, 0.0
-    )
-    contrib = wsp_ref[:, :] * angw * grad
-    return jnp.sum(contrib, axis=0, keepdims=True)  # [1, 128]
 
 
 def _make_fused_kernel(block_k: int):
@@ -464,8 +444,8 @@ def _make_fused_kernel(block_k: int):
                 fx = fx_ref[i]
                 fy = fy_ref[i] + dy_off
                 # --- orientation: histogram + smoothing + dual peaks ---
-                h = _orientation_hist_from_patch(patch, fx, fy, i2_ref[i],
-                                                 DESC_P)
+                h = _orientation_hist_from_patch_wide(patch, fx, fy,
+                                                      i2_ref[i], DESC_P)
                 hlr = jnp.dot(h, smp_ref[:, :],
                               preferred_element_type=jnp.float32)  # [1,96]
                 hs = hlr[:, 0:32]
@@ -488,7 +468,7 @@ def _make_fused_kernel(block_k: int):
                 dup = jnp.where((m2 > 0.8 * m1) & (m2 > 0), 1.0, 0.0)
 
                 rad = jnp.float32(2.0 * np.pi / 360.0)
-                d1 = _descriptor_from_patch(
+                d1 = _descriptor_from_patch_wide(
                     patch, w2d_ref, wsp_ref, fx, fy,
                     jnp.cos(ori1 * rad), jnp.sin(ori1 * rad), sc_ref[i],
                 )
@@ -502,7 +482,7 @@ def _make_fused_kernel(block_k: int):
 
                 @pl.when(dup[0, 0] > 0)
                 def _():
-                    d2 = _descriptor_from_patch(
+                    d2 = _descriptor_from_patch_wide(
                         patch, w2d_ref, wsp_ref, fx, fy,
                         jnp.cos(ori2 * rad), jnp.sin(ori2 * rad), sc_ref[i],
                     )
@@ -555,7 +535,7 @@ def fused_orient_descriptor(img, x, y, scale, count=None, *,
         out_specs=out_specs,
         interpret=interpret,
     )(count, x0, y0, fx, fy, scale, inv2s2, img,
-      jnp.asarray(_W2D_COL), jnp.asarray(_W_SPATIAL_128),
+      jnp.asarray(_W2D_ROW), jnp.asarray(_W_SPATIAL_128_T),
       jnp.asarray(_smooth_peak_matrices()))
     return d1, d2, aux[:, 0], aux[:, 1], aux[:, 2] > 0.5
 
