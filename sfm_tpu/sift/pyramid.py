@@ -105,7 +105,24 @@ def pyramid_band_mats(shape, cfg: SiftConfig):
         # on the last octave but kept for a uniform pytree).
         Dc = jnp.asarray(imops._decim_matrix_cached(H, sd_key))
         Dr = jnp.asarray(imops._decim_matrix_cached(W, sd_key))
-        mats.append((Bc, Br, Dc, Dr))
+        if o == 0:
+            # Lowpass prefilter as banded matmuls too: the grouped-conv
+            # path costs ~0.5 ms/image of pure per-op overhead on this
+            # backend (same lesson as the blur bank, r2).
+            sigma = max(cfg.init_blur, 1e-3)
+            lp = imops.gaussian_kernel(
+                cfg.lowpass_radius, sigma * sigma
+            ).astype(np.float32)[None]
+            lp_key = lp.tobytes()
+            Lc = jnp.asarray(
+                imops._band_matrix_cached(H, lp_key, lp.shape[1])[0]
+            )
+            Lr = jnp.asarray(
+                imops._band_matrix_cached(W, lp_key, lp.shape[1])[0]
+            )
+            mats.append((Bc, Br, Dc, Dr, Lc, Lr))
+        else:
+            mats.append((Bc, Br, Dc, Dr))
         H, W = H // 2, W // 2
     return tuple(mats)
 
@@ -136,7 +153,11 @@ def build_pyramid(img, cfg: SiftConfig, mats=None) -> list:
     """
     if cfg.up_scale:
         img = imops.scale_up(img)
-    base = lowpass(img, cfg)
+    if mats and len(mats[0]) >= 6:
+        Lc, Lr = mats[0][4:6]
+        base = (Lc @ img) @ Lr.T
+    else:
+        base = lowpass(img, cfg)
     octaves = []
     sub = 1.0
     for o in range(cfg.num_octaves):
@@ -145,7 +166,7 @@ def build_pyramid(img, cfg: SiftConfig, mats=None) -> list:
         )
         if o + 1 < cfg.num_octaves:
             if mats is not None and len(mats[o]) >= 4:
-                base = imops.scale_down_matmul(base, mats[o][2:])
+                base = imops.scale_down_matmul(base, mats[o][2:4])
             else:
                 base = imops.scale_down(base, 0.5)
             sub *= 2.0

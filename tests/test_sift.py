@@ -325,3 +325,19 @@ def test_frontend_pallas_path_matches_xla_path():
     ip = np.lexsort(keyp.T)
     corr = (dx[ix] * dp[ip]).sum(1)
     assert corr.min() > 0.999, corr.min()
+
+
+def test_lowpass_matmul_matches_conv():
+    # The banded-matmul lowpass prefilter (TPU pyramid path, r2) must
+    # match the grouped-conv lowpass exactly.
+    import jax.numpy as jnp
+    from sfm_tpu.sift import pyramid
+
+    rng2 = np.random.default_rng(9)
+    img = jnp.asarray(rng2.normal(size=(72, 96)).astype(np.float32) * 30 + 90)
+    cfg = SiftConfig(max_pts_per_octave=128, num_octaves=2)
+    mats = pyramid.pyramid_band_mats((72, 96), cfg)
+    Lc, Lr = mats[0][4:6]
+    a = np.array(pyramid.lowpass(img, cfg))
+    b = np.array((Lc @ img) @ Lr.T)
+    assert np.abs(a - b).max() < 1e-4, np.abs(a - b).max()

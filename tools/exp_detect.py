@@ -128,7 +128,7 @@ def main():
             m = frontend._mats_for(img1.shape, c)
             timeit(lambda c=c, m=m: pyr_only(img1, c, m), f"pyr[oct={no}]")
         # Raw octave-0 matmul pair (the irreducible MXU work).
-        Bc, Br = mats[0]
+        Bc, Br = mats[0][:2]
         @jax.jit
         def raw(img):
             t = jnp.einsum("bij,jw->biw", Bc, img)
