@@ -141,7 +141,7 @@ def test_descriptor_shift_invariance(rng):
         jnp.asarray(img2), jnp.asarray([45.75]), jnp.asarray([47.25]),
         jnp.asarray([2.0]), jnp.asarray([0.0]),
     )
-    corr = float(np.array(d1) @ np.array(d2).T)
+    corr = float((np.array(d1) @ np.array(d2).T).item())
     assert corr > 0.999
 
 
@@ -161,7 +161,7 @@ def test_descriptor_rotation_invariance(rng):
         jnp.asarray(rot), jnp.asarray([rcx]), jnp.asarray([rcy]),
         jnp.asarray([2.0]), jnp.asarray([100.0]),
     )
-    corr = float(np.array(d1) @ np.array(d2).T)
+    corr = float((np.array(d1) @ np.array(d2).T).item())
     assert corr > 0.97, corr
 
 

@@ -1,0 +1,124 @@
+"""Geometry-stage perf bisection on the real device.
+
+The two-view geometry program (RANSAC + pose + refine + triangulate,
+models/two_view.py:two_view_geometry) measures ~2.6 ms on TPU — the
+largest single stage of the 9.5 ms pipeline.  Its FLOP count is
+trivial (~100 MFLOP), so the cost is dependency-chain latency: Jacobi
+sweeps, scan iterations, and lax.map scoring chunks all serialize.
+This experiment times the full stage under knob variants AND reports
+quality (inliers / reproj) so speed is never read without accuracy.
+
+Usage: python tools/exp_geometry.py [variant ...]
+Variants: base chunks sweeps refine polish hyps combo
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from sfm_tpu.config import SiftConfig, PipelineConfig, RansacConfig
+    from sfm_tpu.io.image_io import load_gray
+    from sfm_tpu.models import two_view
+
+    want = lambda k: (len(sys.argv) == 1) or (k in sys.argv[1:])
+
+    img1 = jnp.asarray(load_gray("/root/reference/data/dino/viff.000.ppm"))
+    img2 = jnp.asarray(load_gray("/root/reference/data/dino/viff.001.ppm"))
+    h, w = img1.shape
+    K = jnp.asarray(
+        np.array([[2360.0, 0, w / 2], [0, 2360.0, h / 2], [0, 0, 1]], np.float32)
+    )
+    base_cfg = PipelineConfig(
+        sift=SiftConfig(max_pts_per_octave=1024),
+        ransac=RansacConfig(n_hyps=1024, threshold=3e-6, chunk=256),
+    )
+    # Frontend once (shared input for every geometry variant).
+    uv1, uv2, mask = two_view.frontend_stage(img1, img2, base_cfg)
+    jax.block_until_ready((uv1, uv2, mask))
+    keys = [jax.random.PRNGKey(i) for i in range(16)]
+
+    one = jnp.float32(1.0) + 0.0
+    _ = float(one)
+    rtt = float("inf")
+    for i in range(5):
+        t0 = time.time()
+        _ = float(one + jnp.float32(i))
+        rtt = min(rtt, (time.time() - t0) * 1000.0)
+    print(f"rtt {rtt:.1f} ms", flush=True)
+
+    def timeit(cfg, name, n=12):
+        t0 = time.time()
+        r = two_view.two_view_geometry(keys[0], uv1, uv2, mask, K, cfg)
+        _ = float(r.reproj_err)
+        print(f"{name}: compile {time.time()-t0:.1f}s", flush=True)
+        best = float("inf")
+        for _rep in range(3):
+            t0 = time.time()
+            outs = [
+                two_view.two_view_geometry(keys[i % 16], uv1, uv2, mask, K, cfg).reproj_err
+                for i in range(n)
+            ]
+            _ = float(sum(outs))
+            best = min(best, max(0.0, (time.time() - t0) * 1000 - rtt) / n)
+        import math
+
+        px = math.sqrt(float(r.reproj_err) / 2) * 2360.0
+        print(
+            f"{name}: {best:.2f} ms   inliers={int(r.num_inliers)} "
+            f"valid={int(r.point_valid.sum())} reproj={px:.3f}px",
+            flush=True,
+        )
+
+    rc = base_cfg.ransac
+    if want("base"):
+        timeit(base_cfg, "base[chunk256,sweeps10,refine10]")
+    if want("chunks"):
+        for c in (512, 1024):
+            cfg = dataclasses.replace(
+                base_cfg, ransac=dataclasses.replace(rc, chunk=c))
+            timeit(cfg, f"chunk{c}")
+    if want("sweeps"):
+        for s in (6, 4):
+            cfg = dataclasses.replace(
+                base_cfg, ransac=dataclasses.replace(rc, sweeps=s))
+            timeit(cfg, f"sweeps{s}")
+    if want("refine"):
+        for it in (6, 4):
+            timeit(dataclasses.replace(base_cfg, refine_iters=it), f"refine{it}")
+    if want("polish"):
+        cfg = dataclasses.replace(
+            base_cfg, ransac=dataclasses.replace(rc, refit_iters=1))
+        timeit(cfg, "refit1")
+    if want("hyps"):
+        cfg = dataclasses.replace(
+            base_cfg, ransac=dataclasses.replace(rc, n_hyps=512, chunk=512))
+        timeit(cfg, "hyps512")
+    if want("combo"):
+        cfg = dataclasses.replace(
+            base_cfg,
+            ransac=dataclasses.replace(rc, chunk=1024, sweeps=6, refit_iters=1),
+            refine_iters=6,
+        )
+        timeit(cfg, "combo[chunk1024,sweeps6,refit1,refine6]")
+
+
+if __name__ == "__main__":
+    main()
