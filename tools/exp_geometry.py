@@ -108,16 +108,27 @@ def main():
             base_cfg, ransac=dataclasses.replace(rc, refit_iters=1))
         timeit(cfg, "refit1")
     if want("hyps"):
+        # NOTE: CPU quality sweep (r2) showed n_hyps=512 collapses pair
+        # 005-006 (med inliers 463 vs 863) — keep 1024; timing only.
         cfg = dataclasses.replace(
             base_cfg, ransac=dataclasses.replace(rc, n_hyps=512, chunk=512))
         timeit(cfg, "hyps512")
     if want("combo"):
+        # Quality-neutral set per the CPU sweep over pairs 000/005/017/029:
+        # sweeps=4, refit_iters=1, chunk=1024 are bit-identical-quality;
+        # refine stays 10 (refine=6 costs ~1-2% inliers).
         cfg = dataclasses.replace(
             base_cfg,
-            ransac=dataclasses.replace(rc, chunk=1024, sweeps=6, refit_iters=1),
+            ransac=dataclasses.replace(rc, chunk=1024, sweeps=4, refit_iters=1),
+        )
+        timeit(cfg, "combo[chunk1024,sweeps4,refit1]")
+    if want("combo6"):
+        cfg = dataclasses.replace(
+            base_cfg,
+            ransac=dataclasses.replace(rc, chunk=1024, sweeps=4, refit_iters=1),
             refine_iters=6,
         )
-        timeit(cfg, "combo[chunk1024,sweeps6,refit1,refine6]")
+        timeit(cfg, "combo6[chunk1024,sweeps4,refit1,refine6]")
 
 
 if __name__ == "__main__":
