@@ -158,6 +158,135 @@ def smallest_eigvec_power(G, *, iters: int = 5):
     return v
 
 
+def _det3(B):
+    return (
+        B[..., 0, 0] * (B[..., 1, 1] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 1])
+        - B[..., 0, 1] * (B[..., 1, 0] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 0])
+        + B[..., 0, 2] * (B[..., 1, 0] * B[..., 2, 1] - B[..., 1, 1] * B[..., 2, 0])
+    )
+
+
+def _unit(v, eps=1e-20):
+    return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
+
+
+def _eigvec_for(A, lam):
+    """Eigenvector of symmetric A for eigenvalue lam via the largest
+    cross product of rows of (A - lam I) — accurate when lam is the
+    best-separated eigenvalue (the caller anchors on it)."""
+    M = A - lam[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    c0 = jnp.cross(M[..., 0, :], M[..., 1, :])
+    c1 = jnp.cross(M[..., 0, :], M[..., 2, :])
+    c2 = jnp.cross(M[..., 1, :], M[..., 2, :])
+    n0 = jnp.sum(c0 * c0, axis=-1)
+    n1 = jnp.sum(c1 * c1, axis=-1)
+    n2 = jnp.sum(c2 * c2, axis=-1)
+    c01 = jnp.where((n0 >= n1)[..., None], c0, c1)
+    n01 = jnp.maximum(n0, n1)
+    c = jnp.where((n01 >= n2)[..., None], c01, c2)
+    n = jnp.maximum(n01, n2)
+    # Normalize EXACTLY by the selected norm (an eps-clamped norm would
+    # return a non-unit vector when n underflows, poisoning the Rayleigh
+    # quotients downstream); near-zero cross products (isotropic A) fall
+    # back to a canonical axis — any unit vector is an eigenvector there.
+    ok = (n > 1e-36)[..., None]
+    den = jnp.sqrt(jnp.where(n > 1e-36, n, 1.0))[..., None]
+    fb = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], A.dtype), c.shape)
+    return jnp.where(ok, c / den, fb)
+
+
+def eigh3x3(A):
+    """Closed-form eigendecomposition of batched SYMMETRIC 3x3 matrices.
+
+    Returns (w ascending [..., 3], V [..., 3, 3] orthonormal columns).
+
+    Replaces the fixed-sweep Jacobi for the n == 3 case: the Jacobi
+    chain (sweeps x 3 rotations x ~20 ops) is sequential and dominates
+    the latency of single-matrix decompositions on TPU; this is ~50
+    fully-parallel ops (Cardano eigenvalues + one anchored cross-product
+    eigenvector + a closed-form 2x2 rotation in its orthogonal
+    complement).  Anchoring on the best-separated extreme eigenvalue and
+    building the remaining pair from the exact 2x2 complement problem
+    keeps the reconstruction stable even for (near-)degenerate pairs —
+    exactly the essential-matrix case s ~ (1, 1, 0).
+    """
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    dt = A.dtype
+    q = jnp.trace(A, axis1=-2, axis2=-1) / 3.0
+    d0 = A[..., 0, 0] - q
+    d1 = A[..., 1, 1] - q
+    d2 = A[..., 2, 2] - q
+    off2 = (
+        A[..., 0, 1] ** 2 + A[..., 0, 2] ** 2 + A[..., 1, 2] ** 2
+    )
+    p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * off2
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    scale = jnp.where(p > 1e-30, p, 1.0)
+    B = (A - q[..., None, None] * jnp.eye(3, dtype=dt)) / scale[..., None, None]
+    r = jnp.clip(_det3(B) / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    two_pi_3 = jnp.asarray(2.0 * jnp.pi / 3.0, dt)
+    lmax = q + 2.0 * p * jnp.cos(phi)
+    lmin = q + 2.0 * p * jnp.cos(phi + two_pi_3)
+    lmid = 3.0 * q - lmax - lmin
+
+    # Anchor the cross-product eigenvector on the better-separated
+    # extreme; the other two come from the 2x2 complement problem.
+    use_max = (lmax - lmid) >= (lmid - lmin)
+    v_anchor = _eigvec_for(A, jnp.where(use_max, lmax, lmin))
+
+    # Orthonormal basis {u, w} of the complement of v_anchor.
+    ax = jnp.abs(v_anchor[..., 0])
+    ref = jnp.where(
+        (ax < 0.9)[..., None],
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], dt), v_anchor.shape),
+        jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], dt), v_anchor.shape),
+    )
+    u = _unit(jnp.cross(v_anchor, ref))
+    w = jnp.cross(v_anchor, u)
+    Au = jnp.einsum("...ij,...j->...i", A, u)
+    Aw = jnp.einsum("...ij,...j->...i", A, w)
+    s00 = jnp.sum(u * Au, axis=-1)
+    s01 = jnp.sum(u * Aw, axis=-1)
+    s11 = jnp.sum(w * Aw, axis=-1)
+    theta = 0.5 * jnp.arctan2(2.0 * s01, s00 - s11)
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    e0 = c[..., None] * u + s[..., None] * w
+    e1 = -s[..., None] * u + c[..., None] * w
+    mu0 = s00 * c * c + 2.0 * s01 * c * s + s11 * s * s
+    mu1 = s00 * s * s - 2.0 * s01 * c * s + s11 * c * c
+    swap = mu0 > mu1
+    e_lo = jnp.where(swap[..., None], e1, e0)
+    e_hi = jnp.where(swap[..., None], e0, e1)
+
+    mu_lo = jnp.where(swap, mu1, mu0)
+    mu_hi = jnp.where(swap, mu0, mu1)
+
+    # Column order ascending: anchor==max -> (e_lo, e_hi, v_anchor);
+    # anchor==min -> (v_anchor, e_lo, e_hi).
+    um = use_max[..., None]
+    v0 = jnp.where(um, e_lo, v_anchor)
+    v1 = jnp.where(um, e_hi, e_lo)
+    v2 = jnp.where(um, v_anchor, e_hi)
+    V = jnp.stack([v0, v1, v2], axis=-1)
+    # Returned eigenvalues are RAYLEIGH QUOTIENTS of the constructed
+    # vectors (mu_* already are; the anchor's is one matvec) — accurate
+    # to second order in the vector error, where the raw Cardano root
+    # carries an absolute ~eps*||A|| error that the sqrt in svd3x3
+    # amplifies for small singular values.
+    Av = jnp.einsum("...ij,...j->...i", A, v_anchor)
+    lam_a = jnp.sum(v_anchor * Av, axis=-1)
+    w0 = jnp.where(use_max, mu_lo, lam_a)
+    w1 = jnp.where(use_max, mu_hi, mu_lo)
+    w2 = jnp.where(use_max, lam_a, mu_hi)
+    x = jnp.stack([w0, w1, w2], axis=-1)
+    # Near-isotropic matrices: eigenvalues are all ~q and ANY orthonormal
+    # V works; the construction above already degrades gracefully there
+    # (fallback axes), so no special case is needed.
+    return x, V
+
+
 def qr_nullvec(A):
     """Exact null vector of [..., m, n] systems with m < n via QR.
 
@@ -224,18 +353,25 @@ def _align_v2(E, V, u2):
     return V.at[..., :, 2].multiply(sign[..., None])
 
 
-@functools.partial(jax.jit, static_argnames=("sweeps",))
-def svd3x3(E, *, sweeps: int = 8):
+@functools.partial(jax.jit, static_argnames=("sweeps", "method"))
+def svd3x3(E, *, sweeps: int = 8, method: str = "analytic"):
     """Batched 3x3 SVD ``E = U diag(s) V^T`` with descending s.
 
     TPU-native analog of the reference's branch-free device svd3
-    (reference SfM/svd.h:311-335): eigendecompose E^T E by fixed-sweep
-    Jacobi for V and s, reconstruct U column-wise.  U and V are proper
-    orthonormal but *not* guaranteed det=+1; pose decomposition fixes
-    signs (see geometry.pose).
+    (reference SfM/svd.h:311-335): eigendecompose E^T E for V and s,
+    reconstruct U column-wise.  U and V are proper orthonormal but
+    *not* guaranteed det=+1; pose decomposition fixes signs (see
+    geometry.pose).
+
+    method: "analytic" (closed-form eigh3x3, no sequential sweep
+    chain — the default) or "jacobi" (fixed-`sweeps` cyclic Jacobi,
+    retained for A/B timing and as a cross-check).
     """
     G = jnp.einsum("...ji,...jk->...ik", E, E)
-    w, V = jacobi_eigh(G, sweeps=sweeps, sort=True)  # ascending
+    if method == "analytic":
+        w, V = eigh3x3(G)  # ascending
+    else:
+        w, V = jacobi_eigh(G, sweeps=sweeps, sort=True)  # ascending
     # Descending singular values.
     w = w[..., ::-1]
     V = V[..., ::-1]

@@ -34,6 +34,56 @@ def test_jacobi_eigh_sizes(rng, n):
     np.testing.assert_allclose(np.array(w), np.linalg.eigvalsh(A), atol=2e-4)
 
 
+def test_eigh3x3_matches_numpy(rng):
+    A = rng.normal(size=(256, 3, 3)).astype(np.float32)
+    A = A + A.transpose(0, 2, 1)
+    w, V = linalg.eigh3x3(jnp.asarray(A))
+    w, V = np.array(w), np.array(V)
+    np.testing.assert_allclose(w, np.linalg.eigvalsh(A), atol=3e-5)
+    res = np.einsum("bij,bjk->bik", A, V) - w[:, None, :] * V
+    assert np.abs(res).max() < 2e-4
+    I = np.einsum("bki,bkj->bij", V, V)
+    assert np.abs(I - np.eye(3)).max() < 2e-5
+
+
+def test_eigh3x3_degenerate():
+    # The spectra the pipeline actually produces: essential (1,1,0),
+    # rotation Gram (1,1,1), rank-1, zero, plus scaled variants.
+    rng = np.random.default_rng(7)
+    Q, _ = np.linalg.qr(rng.normal(size=(6, 3, 3)))
+    spectra = np.array([
+        [1.0, 1.0, 0.0],
+        [1.0, 1.0, 1.0],
+        [1.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0],
+        [100.0, 100.0, 1e-4],
+        [3.0, 2.9999, 1.0],
+    ], np.float32)
+    A = np.einsum("bik,bk,bjk->bij", Q, spectra, Q).astype(np.float32)
+    w, V = linalg.eigh3x3(jnp.asarray(A))
+    w, V = np.array(w), np.array(V)
+    np.testing.assert_allclose(
+        w, np.sort(spectra, axis=1), atol=1e-4, rtol=1e-4
+    )
+    # Orthonormality always holds; reconstruction A = V w V^T is the
+    # subspace-invariant correctness check for degenerate pairs.
+    I = np.einsum("bki,bkj->bij", V, V)
+    assert np.abs(I - np.eye(3)).max() < 2e-5
+    rec = np.einsum("bik,bk,bjk->bij", V, w, V)
+    assert np.abs(rec - A).max() < 2e-3
+
+
+def test_svd3x3_analytic_vs_jacobi(rng):
+    M = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    Ua, sa, Va = linalg.svd3x3(jnp.asarray(M))
+    Uj, sj, Vj = linalg.svd3x3(jnp.asarray(M), method="jacobi")
+    np.testing.assert_allclose(np.array(sa), np.array(sj), atol=1e-4)
+    ra = np.einsum("bik,bk,bjk->bij", np.array(Ua), np.array(sa), np.array(Va))
+    rj = np.einsum("bik,bk,bjk->bij", np.array(Uj), np.array(sj), np.array(Vj))
+    assert np.abs(ra - M).max() < 5e-5
+    assert np.abs(rj - M).max() < 5e-5
+
+
 def test_smallest_eigvec(rng):
     # Construct matrices with a known small eigenpair.
     Q, _ = np.linalg.qr(rng.normal(size=(16, 5, 5)))

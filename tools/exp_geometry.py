@@ -129,6 +129,25 @@ def main():
             refine_iters=6,
         )
         timeit(cfg, "combo6[chunk1024,sweeps4,refit1,refine6]")
+    if want("jacobi"):
+        # A/B the svd3x3 eigensolver on the FULL geometry stage: the
+        # analytic closed-form (default) vs the fixed-sweep Jacobi.
+        # Same cfg key would hit the jit cache, so clear caches around
+        # the patch; the persistent compile cache still serves the
+        # unpatched programs afterwards.
+        import functools as _ft
+
+        from sfm_tpu.ops import linalg as _linalg
+
+        orig = _linalg.svd3x3
+        _linalg.svd3x3 = _ft.partial(orig, method="jacobi")
+        jax.clear_caches()
+        try:
+            timeit(base_cfg, "base[svd3x3=jacobi]")
+        finally:
+            _linalg.svd3x3 = orig
+            jax.clear_caches()
+        timeit(base_cfg, "base[svd3x3=analytic]")
 
 
 if __name__ == "__main__":
