@@ -39,17 +39,25 @@ def dlt_system(x1, x2, P1, P2):
     return jnp.stack([r0, r1, r2, r3], axis=-2)  # [..., N, 4, 4]
 
 
-@functools.partial(jax.jit, static_argnames=("sweeps", "w_clamp"))
-def triangulate(x1, x2, P1, P2, *, sweeps: int = 10, w_clamp: float = 5.0):
+@functools.partial(jax.jit, static_argnames=("sweeps", "w_clamp", "solver"))
+def triangulate(x1, x2, P1, P2, *, sweeps: int = 10, w_clamp: float = 5.0,
+                solver: str = "adj"):
     """Triangulate all correspondences; returns (X [..., N, 3], w [..., N]).
 
     ``w`` is the homogeneous scale; points with |w| below 1/w_clamp of the
     spatial norm are near-infinite.  The reference clamps |w| > 5 outliers
     to the origin (SfM/kernels.h:433-450); we return the dehomogenized
     points plus a finite-point validity mask instead of destroying data.
+
+    solver: "adj" (closed-form adjugate null vector, default — no
+    sequential sweep chain) or "jacobi" (fixed-`sweeps` Gram Jacobi,
+    retained for A/B timing and as a cross-check).
     """
     A = dlt_system(x1, x2, P1, P2)
-    X_h = linalg.gram_nullvec(A, sweeps=sweeps)  # [..., N, 4] unit norm
+    if solver == "adj":
+        X_h = linalg.gram_nullvec4_adj(A)        # [..., N, 4] unit norm
+    else:
+        X_h = linalg.gram_nullvec(A, sweeps=sweeps)  # [..., N, 4] unit norm
     w = X_h[..., 3]
     denom = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
     X = X_h[..., :3] / denom[..., None]

@@ -135,6 +135,52 @@ def gram_nullvec(A, *, sweeps: int = 10):
     return smallest_eigvec(G, sweeps=sweeps)
 
 
+def _minor3(G, rs, cs):
+    return _det3(
+        jnp.stack(
+            [jnp.stack([G[..., r, c] for c in cs], axis=-1) for r in rs],
+            axis=-2,
+        )
+    )
+
+
+def gram_nullvec4_adj(A):
+    """Null vector of [..., m, 4] systems via the ADJUGATE of G = A^T A.
+
+    adj(G) = det(G) G^{-1} = sum_i (prod_{j!=i} lam_j) v_i v_i^T is
+    dominated by the smallest-eigenvalue term with relative mixing
+    ~ (lam_4/lam_3) = (sigma_4/sigma_3)^2, so its strongest column IS
+    the null direction — ~150 fully parallel flops (16 cofactor 3x3
+    dets) instead of the 10-sweep Jacobi chain of `gram_nullvec`
+    (~60 sequential rotations).  Intended for the DLT triangulation
+    systems (reference SfM/sfm.cu:309-344) whose rows are O(1)-scaled;
+    degenerate lam_3 ~ lam_4 inputs (points at infinity, zero baseline)
+    return an arbitrary direction inside the near-null subspace exactly
+    like an f32 SVD would, and are filtered by the callers' validity
+    masks.  Zero/invalid systems fall back to e3 (w-axis), which
+    dehomogenizes to the origin.
+    """
+    G = jnp.einsum("...mi,...mj->...ij", A, A)
+    idx = (0, 1, 2, 3)
+    cols = []
+    for j in range(4):
+        rs = tuple(r for r in idx if r != j)
+        col = []
+        for i in range(4):
+            cs = tuple(c for c in idx if c != i)
+            col.append(((-1.0) ** (i + j)) * _minor3(G, rs, cs))
+        cols.append(jnp.stack(col, axis=-1))  # adj(G)[:, j] (G symmetric)
+    adj = jnp.stack(cols, axis=-1)                     # [..., 4, 4]
+    d = jnp.diagonal(adj, axis1=-2, axis2=-1)          # c * v4_i^2
+    j = jnp.argmax(d, axis=-1)
+    v = jnp.take_along_axis(adj, j[..., None, None], axis=-1)[..., 0]
+    n2 = jnp.sum(v * v, axis=-1)
+    ok = (n2 > 1e-36)[..., None]
+    den = jnp.sqrt(jnp.where(n2 > 1e-36, n2, 1.0))[..., None]
+    fb = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 1.0], A.dtype), v.shape)
+    return jnp.where(ok, v / den, fb)
+
+
 def smallest_eigvec_power(G, *, iters: int = 5):
     """Smallest eigenvector of a symmetric PSD matrix via ridge inverse
     iteration.

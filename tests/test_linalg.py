@@ -84,6 +84,24 @@ def test_svd3x3_analytic_vs_jacobi(rng):
     assert np.abs(rj - M).max() < 5e-5
 
 
+def test_gram_nullvec4_adj(rng):
+    # Near-singular 4-column systems like DLT triangulation produces:
+    # A = B (I - v v^T) + eps * noise, null direction v.
+    v = rng.normal(size=(64, 4))
+    v = v / np.linalg.norm(v, axis=-1, keepdims=True)
+    B = rng.normal(size=(64, 4, 4))
+    P = np.eye(4)[None] - np.einsum("bi,bj->bij", v, v)
+    A = (np.einsum("bmi,bij->bmj", B, P)
+         + 1e-4 * rng.normal(size=(64, 4, 4))).astype(np.float32)
+    nv = np.array(linalg.gram_nullvec4_adj(jnp.asarray(A)))
+    np.testing.assert_allclose(np.linalg.norm(nv, axis=-1), 1.0, atol=1e-5)
+    dots = np.abs(np.einsum("bi,bi->b", nv, v))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-2)
+    # Zero system: canonical w-axis fallback.
+    z = np.array(linalg.gram_nullvec4_adj(jnp.zeros((1, 4, 4))))
+    np.testing.assert_allclose(z[0], [0, 0, 0, 1])
+
+
 def test_smallest_eigvec(rng):
     # Construct matrices with a known small eigenpair.
     Q, _ = np.linalg.qr(rng.normal(size=(16, 5, 5)))

@@ -130,24 +130,29 @@ def main():
         )
         timeit(cfg, "combo6[chunk1024,sweeps4,refit1,refine6]")
     if want("jacobi"):
-        # A/B the svd3x3 eigensolver on the FULL geometry stage: the
-        # analytic closed-form (default) vs the fixed-sweep Jacobi.
-        # Same cfg key would hit the jit cache, so clear caches around
-        # the patch; the persistent compile cache still serves the
-        # unpatched programs afterwards.
+        # A/B the closed-form small solvers on the FULL geometry stage:
+        # analytic svd3x3 + adjugate triangulation (defaults) vs the
+        # fixed-sweep Jacobi paths they replaced.  Same cfg key would
+        # hit the jit cache, so clear caches around the patch; the
+        # persistent compile cache still serves the unpatched programs
+        # afterwards.
         import functools as _ft
 
         from sfm_tpu.ops import linalg as _linalg
+        from sfm_tpu.geometry import triangulate as _tri
 
-        orig = _linalg.svd3x3
-        _linalg.svd3x3 = _ft.partial(orig, method="jacobi")
+        orig_svd = _linalg.svd3x3
+        orig_tri = _tri.triangulate
+        _linalg.svd3x3 = _ft.partial(orig_svd, method="jacobi")
+        _tri.triangulate = _ft.partial(orig_tri, solver="jacobi")
         jax.clear_caches()
         try:
-            timeit(base_cfg, "base[svd3x3=jacobi]")
+            timeit(base_cfg, "base[jacobi solvers]")
         finally:
-            _linalg.svd3x3 = orig
+            _linalg.svd3x3 = orig_svd
+            _tri.triangulate = orig_tri
             jax.clear_caches()
-        timeit(base_cfg, "base[svd3x3=analytic]")
+        timeit(base_cfg, "base[closed-form solvers]")
 
 
 if __name__ == "__main__":
