@@ -72,12 +72,12 @@ def ransac_homography(
     n1 = (h1 @ T1.T)[:, :2]
     n2 = (h2 @ T2.T)[:, :2]
 
-    from sfm_tpu.ops.compact import compaction_order
+    from sfm_tpu.geometry.ransac import sample_minimal_sets
 
-    order = compaction_order(mask)
-    n_valid = jnp.maximum(jnp.sum(mask), 1)
-    draw = jax.random.randint(key, (n_hyps, 4), 0, jnp.asarray(n, jnp.int32))
-    idx = order[draw % n_valid]
+    # Distinct indices per minimal set (Floyd sampling, shared with the
+    # essential-matrix RANSAC): duplicates make the 8x9 system
+    # rank-deficient and silently waste the hypothesis slot.
+    idx = sample_minimal_sets(key, mask, n_hyps, k=4)
 
     A = homography_system(n1[idx], n2[idx]).reshape(n_hyps, 8, 9)
     hvec = linalg.qr_nullvec(A)
@@ -99,7 +99,9 @@ def ransac_homography(
         w2 = jnp.repeat(w, 2)
         Af = A_all.reshape(-1, 9)
         G = jnp.einsum("ni,n,nj->ij", Af, w2, Af)
-        hv = linalg.smallest_eigvec(G)
+        # Ridge inverse iteration (see ransac.polish): the 9x9 Jacobi
+        # chain is latency-bound for a single matrix.
+        hv = linalg.smallest_eigvec_power(G)
         H_new = jnp.einsum("ij,jk,kl->il", T2inv, hv.reshape(3, 3), T1)
         c_old = jnp.sum(w).astype(jnp.int32)
         c_new = jnp.sum(

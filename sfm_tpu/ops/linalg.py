@@ -182,23 +182,27 @@ def gram_nullvec4_adj(A):
 
 
 def smallest_eigvec_power(G, *, iters: int = 5):
-    """Smallest eigenvector of a symmetric PSD matrix via ridge inverse
-    iteration.
+    """Smallest eigenvector of symmetric PSD ``[..., n, n]`` matrices via
+    ridge inverse iteration.
 
-    For a SINGLE small matrix the fixed-sweep Jacobi unrolls to ~360
-    sequential tiny ops (latency-bound on TPU); this is a handful of
-    n x n solves.  Convergence ratio (lam_min + eps)/(lam_2 + eps) is
-    tiny for the near-null-space systems it serves (all-inlier
-    least-squares polish).
+    The fixed-sweep Jacobi unrolls to ~sweeps * n(n-1)/2 * ~20
+    sequential tiny ops (latency-bound on TPU even when batched); this
+    is `iters` batched n x n solves.  Convergence ratio
+    (lam_min + eps)/(lam_2 + eps) is tiny for the near-null-space
+    systems it serves (all-inlier least-squares polish, DLT hypothesis
+    banks).
     """
     n = G.shape[-1]
-    eps = jnp.trace(G) / n * 1e-7 + 1e-20
+    eps = (jnp.trace(G, axis1=-2, axis2=-1) / n * 1e-7 + 1e-20)[
+        ..., None, None
+    ]
     A = G + eps * jnp.eye(n, dtype=G.dtype)
-    v0 = jnp.ones((n,), G.dtype) / jnp.sqrt(jnp.asarray(n, G.dtype))
+    v0 = jnp.ones(G.shape[:-1], G.dtype) / jnp.sqrt(jnp.asarray(n, G.dtype))
 
     def body(v, _):
-        w = jnp.linalg.solve(A, v)
-        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30), None
+        w = jnp.linalg.solve(A, v[..., None])[..., 0]
+        nw = jnp.linalg.norm(w, axis=-1, keepdims=True)
+        return w / jnp.maximum(nw, 1e-30), None
 
     v, _ = jax.lax.scan(body, v0, None, length=iters)
     return v
