@@ -41,7 +41,24 @@ def main():
     from sfm_tpu.models import two_view
     from sfm_tpu.sift import frontend, match as match_mod
 
-    log(f"devices: {jax.devices()}")
+    # The relay-backed TPU backend can be transiently unavailable
+    # (observed: init hangs then raises Unavailable); retry with the
+    # backend cache cleared rather than dying on the first attempt.
+    for attempt in range(6):
+        try:
+            log(f"devices: {jax.devices()}")
+            break
+        except RuntimeError as e:
+            log(f"backend init failed (attempt {attempt + 1}/6): {e}")
+            if attempt == 5:
+                raise
+            try:
+                import jax.extend  # noqa: F401 (not re-exported by jax)
+
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
+            time.sleep(90)
 
     img1 = jnp.asarray(load_gray("/root/reference/data/dino/viff.000.ppm"))
     img2 = jnp.asarray(load_gray("/root/reference/data/dino/viff.001.ppm"))
