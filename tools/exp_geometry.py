@@ -95,11 +95,9 @@ def main():
             cfg = dataclasses.replace(
                 base_cfg, ransac=dataclasses.replace(rc, chunk=c))
             timeit(cfg, f"chunk{c}")
-    if want("sweeps"):
-        for s in (6, 4):
-            cfg = dataclasses.replace(
-                base_cfg, ransac=dataclasses.replace(rc, sweeps=s))
-            timeit(cfg, f"sweeps{s}")
+    # NOTE: `sweeps` variants removed — with the closed-form solvers
+    # (svd3x3 analytic, triangulate adj) the sweeps knob only affects
+    # the Jacobi fallback paths and is inert at the defaults.
     if want("refine"):
         for it in (6, 4):
             timeit(dataclasses.replace(base_cfg, refine_iters=it), f"refine{it}")
@@ -119,16 +117,16 @@ def main():
         # refine stays 10 (refine=6 costs ~1-2% inliers).
         cfg = dataclasses.replace(
             base_cfg,
-            ransac=dataclasses.replace(rc, chunk=1024, sweeps=4, refit_iters=1),
+            ransac=dataclasses.replace(rc, chunk=1024, refit_iters=1),
         )
-        timeit(cfg, "combo[chunk1024,sweeps4,refit1]")
+        timeit(cfg, "combo[chunk1024,refit1]")
     if want("combo6"):
         cfg = dataclasses.replace(
             base_cfg,
-            ransac=dataclasses.replace(rc, chunk=1024, sweeps=4, refit_iters=1),
+            ransac=dataclasses.replace(rc, chunk=1024, refit_iters=1),
             refine_iters=6,
         )
-        timeit(cfg, "combo6[chunk1024,sweeps4,refit1,refine6]")
+        timeit(cfg, "combo6[chunk1024,refit1,refine6]")
     if want("jacobi"):
         # A/B the closed-form small solvers on the FULL geometry stage:
         # analytic svd3x3 + adjugate triangulation (defaults) vs the
