@@ -173,24 +173,6 @@ def _mats_for(shape, cfg: SiftConfig):
     )
 
 
-def extract_sift_batch(imgs, cfg: SiftConfig = SiftConfig()):
-    """Extract SIFT for a batch of same-sized images -> list[SiftResult].
-
-    The dense stage runs batched; per-image sampling stages follow.
-    """
-    use_pallas = _use_pallas(cfg)
-    offsets, subs = atlas_layout(imgs.shape[-2:], cfg)
-    atlas_b, dets_b = _detect_stage_batch(imgs, cfg, _mats_for(imgs.shape[-2:], cfg))
-    results = []
-    for b in range(imgs.shape[0]):
-        atlas = atlas_b[b]
-        dets = jax.tree_util.tree_map(lambda a: a[b], dets_b)
-        results.append(
-            _sample_stage(atlas, offsets, subs, dets, cfg, use_pallas)
-        )
-    return results
-
-
 def extract_sift_pair(img1, img2, cfg: SiftConfig = SiftConfig()):
     """Extract SIFT for an image pair with pair-level batching.
 
