@@ -42,6 +42,16 @@ def main():
          jnp.bfloat16),
         ("pallas-bf16", lambda a, b: match_top2_pallas(a, b, bf16=True),
          jnp.float32),
+        # Tile-shape sweep: bigger tiles amortize the per-tile reduction
+        # fixed costs (the kernel is VPU-top2-bound, not MXU-bound).
+        ("pallas-bm512", lambda a, b: match_top2_pallas(a, b, bm=512),
+         jnp.float32),
+        ("pallas-bn1024", lambda a, b: match_top2_pallas(a, b, bn=1024),
+         jnp.float32),
+        ("pallas-512x1024",
+         lambda a, b: match_top2_pallas(a, b, bm=512, bn=1024), jnp.float32),
+        ("pallas-bm128", lambda a, b: match_top2_pallas(a, b, bm=128),
+         jnp.float32),
     ]
     for name, fn, dtype in variants:
         a = jnp.asarray(d1, dtype)
