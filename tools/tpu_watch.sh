@@ -6,20 +6,20 @@ set -u
 mkdir -p /tmp/exp_results
 cd /root/repo
 probe() {
-  timeout 180 python -c "
+  timeout 600 python -c "
 import jax, jax.numpy as jnp
 print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()), jax.devices())
 " >/tmp/exp_results/probe.log 2>&1
 }
 for i in $(seq 1 100); do
   if probe; then
-    echo "probe OK at attempt $i: $(date)" | tee /tmp/exp_results/status
+    echo "probe OK at attempt $i: $(date)" | tee -a /tmp/exp_results/status
     break
   fi
   echo "probe $i failed $(date)" >> /tmp/exp_results/status
-  sleep 120
+  sleep 60
 done
-if ! grep -q "probe OK" /tmp/exp_results/status; then
+if ! tail -1 /tmp/exp_results/status | grep -q "probe OK"; then
   echo "TPU never came back" >> /tmp/exp_results/status
   exit 1
 fi
@@ -29,3 +29,9 @@ echo "exp_geometry done rc=$? $(date)" >> /tmp/exp_results/status
 stdbuf -oL -eL timeout 2400 python tools/exp_pair.py \
   > /tmp/exp_results/exp_pair.log 2>&1
 echo "exp_pair done rc=$? $(date)" >> /tmp/exp_results/status
+stdbuf -oL -eL timeout 2400 python tools/bench_match.py \
+  > /tmp/exp_results/bench_match.log 2>&1
+echo "bench_match done rc=$? $(date)" >> /tmp/exp_results/status
+stdbuf -oL -eL timeout 2400 python bench.py \
+  > /tmp/exp_results/bench.log 2>/tmp/exp_results/bench_stderr.log
+echo "bench done rc=$? $(date)" >> /tmp/exp_results/status
