@@ -46,6 +46,13 @@ def main():
     cfgs = {
         "seq": dataclasses.replace(base, pair_frontend=False),
         "pair": dataclasses.replace(base, pair_frontend=True),
+        # sample_cap 2048 -> 1536: sampling kernels + [K,128] matmuls +
+        # matcher all scale with slots; CPU quality check was ~neutral
+        # (NOTES_R2) — ship only if the time win is real and quality
+        # holds on-device.
+        "cap1536": dataclasses.replace(
+            base, sift=dataclasses.replace(base.sift, sample_cap=1536)
+        ),
     }
     keys = [jax.random.PRNGKey(i) for i in range(16)]
 
