@@ -36,10 +36,15 @@ class SiftConfig:
     # path is overhead-bound on TPU (~9 ms/image for ~120 MFLOP); the
     # matmul path rides the MXU.  None = auto (matmul on TPU).
     blur_matmul: bool | None = None
-    # Exact lax.top_k by default: approx_max_k benches 5x faster in
-    # isolation but 7x SLOWER when fused into the frontend program
-    # (r1 measurement: +31 ms vs +4 ms for the exact sort).
-    exact_topk: bool = True
+    # Candidate-selection mode for detect:
+    #   "topk"    exact lax.top_k (default) — strongest-first under
+    #             capacity pressure;
+    #   "approx"  approx_max_k — 5x faster in isolation but 7x SLOWER
+    #             fused into the frontend program (r1: +31 ms vs +4 ms);
+    #   "compact" O(n) cumsum compaction in scan order — the
+    #             reference's append semantics (cudaSiftD.cu:1420);
+    #             keeps ARBITRARY candidates when an octave saturates.
+    select: str = "topk"
 
 
 @dataclasses.dataclass(frozen=True)

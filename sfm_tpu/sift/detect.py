@@ -200,10 +200,20 @@ def detect(dog, cfg: SiftConfig, subsampling: float) -> Detections:
     # (e.g. 32K-class configs, tools/bench_capacity.py): clamp the
     # selection and pad back to K invalid slots.
     k_eff = min(K, H * W)
-    if cfg.exact_topk:
-        scores, flat_idx = jax.lax.top_k(resp_px.reshape(-1), k_eff)
+    flat_resp = resp_px.reshape(-1)
+    if cfg.select == "compact":
+        # Scan-order selection by O(n) cumsum compaction — the
+        # reference's atomic-append semantics (cudaSiftD.cu:1420)
+        # instead of strongest-first; identical result while the
+        # candidate count fits the capacity (the common case).
+        from sfm_tpu.ops.compact import compaction_order
+
+        flat_idx = compaction_order(flat_resp > 0.0)[:k_eff]
+        scores = flat_resp[flat_idx]
+    elif cfg.select == "approx":
+        scores, flat_idx = jax.lax.approx_max_k(flat_resp, k_eff)
     else:
-        scores, flat_idx = jax.lax.approx_max_k(resp_px.reshape(-1), k_eff)
+        scores, flat_idx = jax.lax.top_k(flat_resp, k_eff)
     if k_eff < K:
         scores = jnp.pad(scores, (0, K - k_eff), constant_values=-1.0)
         flat_idx = jnp.pad(flat_idx, (0, K - k_eff))

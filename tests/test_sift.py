@@ -254,6 +254,33 @@ def test_extract_pair_matches_single():
             assert corr.min() > 0.9999, corr.min()
 
 
+def test_detect_compact_select_matches_topk():
+    # Below capacity, scan-order compaction must select the SAME
+    # keypoint set as exact top-k (order may differ).
+    import dataclasses
+    import jax.numpy as jnp
+    from sfm_tpu.io.image_io import load_gray
+    from sfm_tpu.config import SiftConfig
+    from sfm_tpu.sift import frontend
+
+    img = jnp.asarray(
+        load_gray("/root/reference/data/dino/viff.000.ppm")[40:360, 100:612])
+    cfg = SiftConfig(num_octaves=3, max_pts_per_octave=1024, sample_cap=0,
+                     use_pallas=False)
+    a = frontend.extract_sift(img, cfg)
+    b = frontend.extract_sift(
+        img, dataclasses.replace(cfg, select="compact"))
+    for r in (a, b):
+        assert int(np.array(r.keypoints.valid).sum()) > 100
+    ka = np.stack([np.array(a.keypoints.x)[np.array(a.keypoints.valid)],
+                   np.array(a.keypoints.y)[np.array(a.keypoints.valid)]], 1)
+    kb = np.stack([np.array(b.keypoints.x)[np.array(b.keypoints.valid)],
+                   np.array(b.keypoints.y)[np.array(b.keypoints.valid)]], 1)
+    ia, ib = np.lexsort(ka.T), np.lexsort(kb.T)
+    assert ka.shape == kb.shape
+    assert np.allclose(ka[ia], kb[ib], atol=1e-4)
+
+
 def test_detect_capacity_exceeds_octave_pixels():
     # 32K-class configs give coarse octaves fewer pixels than slots
     # (tools/bench_capacity.py); detection must clamp + pad, not crash.

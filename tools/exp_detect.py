@@ -90,8 +90,11 @@ def main():
     if want("full"):
         timeit(lambda: frontend._detect_stage(img1, cfg, mats), "full")
     if want("approx"):
-        acfg = SiftConfig(max_pts_per_octave=1024, exact_topk=False)
+        acfg = SiftConfig(max_pts_per_octave=1024, select="approx")
         timeit(lambda: frontend._detect_stage(img1, acfg, mats), "approx")
+    if want("compact"):
+        ccfg = SiftConfig(max_pts_per_octave=1024, select="compact")
+        timeit(lambda: frontend._detect_stage(img1, ccfg, mats), "compact")
     if want("batch2"):
         imgs = jnp.stack([img1, img2])
         timeit(lambda: frontend._detect_stage_batch(imgs, cfg, mats), "batch2", n=6)

@@ -53,6 +53,11 @@ def main():
         "cap1536": dataclasses.replace(
             base, sift=dataclasses.replace(base.sift, sample_cap=1536)
         ),
+        # O(n) cumsum compaction instead of the exact top_k sort in
+        # detect (reference append semantics; same set below capacity).
+        "compact": dataclasses.replace(
+            base, sift=dataclasses.replace(base.sift, select="compact")
+        ),
     }
     keys = [jax.random.PRNGKey(i) for i in range(16)]
 
