@@ -89,6 +89,39 @@ def test_homography_ransac(rng):
     assert np.abs(H - H_gt).max() / np.abs(H_gt).max() < 0.01
 
 
+def test_native_io_rejects_malformed(tmp_path, rng):
+    # Regression for the r1 advisor finding: mixed-size batches and
+    # truncated payloads must fail cleanly, never write out of bounds.
+    from sfm_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    small = (rng.random((8, 10)) * 255).astype(np.uint8)
+    big = (rng.random((64, 80)) * 255).astype(np.uint8)
+    ps = tmp_path / "small.pgm"
+    pb = tmp_path / "big.pgm"
+    ps.write_bytes(b"P5\n10 8\n255\n" + small.tobytes())
+    pb.write_bytes(b"P5\n80 64\n255\n" + big.tobytes())
+    # Batch where a LARGER image follows the first: must error or skip,
+    # not overflow the stride slot.
+    import pytest
+
+    with pytest.raises(Exception):
+        native.load_gray_batch([ps, pb])
+    # Truncated payload.
+    pt = tmp_path / "trunc.pgm"
+    pt.write_bytes(b"P5\n10 8\n255\n" + small.tobytes()[: 10 * 4])
+    with pytest.raises(Exception):
+        native.load_gray(pt)
+    # Absurd header dimensions (size_t wrap guard).
+    ph = tmp_path / "huge.pgm"
+    ph.write_bytes(b"P5\n4294967295 4294967295\n255\n\x00")
+    with pytest.raises(Exception):
+        native.load_gray(ph)
+
+
 def test_native_io_roundtrip(tmp_path, rng):
     from sfm_tpu.io import native
 
