@@ -35,3 +35,6 @@ echo "bench_match done rc=$? $(date)" >> /tmp/exp_results/status
 stdbuf -oL -eL timeout 2400 python bench.py \
   > /tmp/exp_results/bench.log 2>/tmp/exp_results/bench_stderr.log
 echo "bench done rc=$? $(date)" >> /tmp/exp_results/status
+stdbuf -oL -eL timeout 2400 python tools/bench_ba.py \
+  > /tmp/exp_results/bench_ba.log 2>&1
+echo "bench_ba done rc=$? $(date)" >> /tmp/exp_results/status
