@@ -53,6 +53,8 @@ def triangulate(x1, x2, P1, P2, *, sweeps: int = 10, w_clamp: float = 5.0,
     sequential sweep chain) or "jacobi" (fixed-`sweeps` Gram Jacobi,
     retained for A/B timing and as a cross-check).
     """
+    if solver not in ("adj", "jacobi"):
+        raise ValueError(f"triangulate: unknown solver {solver!r}")
     A = dlt_system(x1, x2, P1, P2)
     if solver == "adj":
         X_h = linalg.gram_nullvec4_adj(A)        # [..., N, 4] unit norm

@@ -161,6 +161,15 @@ def gram_nullvec4_adj(A):
     dehomogenizes to the origin.
     """
     G = jnp.einsum("...mi,...mj->...ij", A, A)
+    # Scale-invariance: cofactors are cubic in G's entries (~||A||^6),
+    # which overflows f32 for row scales >= ~1e3 and underflows the
+    # fallback threshold below ~1e-3.  Normalize by the largest diagonal
+    # entry (= largest column norm^2, >= any |off-diagonal| by
+    # Cauchy-Schwarz); the null vector is normalized at the end, so the
+    # scaling cancels exactly.
+    d0 = jnp.max(jnp.diagonal(G, axis1=-2, axis2=-1), axis=-1)
+    s = jnp.where(d0 > 1e-30, d0, 1.0)[..., None, None]
+    G = G / s
     idx = (0, 1, 2, 3)
     cols = []
     for j in range(4):
@@ -417,6 +426,8 @@ def svd3x3(E, *, sweeps: int = 8, method: str = "analytic"):
     chain — the default) or "jacobi" (fixed-`sweeps` cyclic Jacobi,
     retained for A/B timing and as a cross-check).
     """
+    if method not in ("analytic", "jacobi"):
+        raise ValueError(f"svd3x3: unknown method {method!r}")
     G = jnp.einsum("...ji,...jk->...ik", E, E)
     if method == "analytic":
         w, V = eigh3x3(G)  # ascending

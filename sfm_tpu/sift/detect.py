@@ -199,6 +199,8 @@ def detect(dog, cfg: SiftConfig, subsampling: float) -> Detections:
     # Coarse octaves can have fewer pixels than the slot capacity
     # (e.g. 32K-class configs, tools/bench_capacity.py): clamp the
     # selection and pad back to K invalid slots.
+    if cfg.select not in ("topk", "approx", "compact"):
+        raise ValueError(f"detect: unknown select mode {cfg.select!r}")
     k_eff = min(K, H * W)
     flat_resp = resp_px.reshape(-1)
     if cfg.select == "compact":

@@ -39,6 +39,27 @@ def sync(x=None):
     return x
 
 
+def measure_rtt(n: int = 5) -> float:
+    """Measured relay round-trip latency in MILLISECONDS.
+
+    The project measurement convention (CLAUDE.md): amortized timings
+    chain N dispatches, sync once, and subtract this RTT.  One warm-up
+    dispatch, then the min over `n` trivial dispatch+D2H round trips.
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+
+    one = jnp.float32(1.0) + 0.0
+    _ = float(one)
+    rtt = float("inf")
+    for i in range(n):
+        t0 = _time.time()
+        _ = float(one + jnp.float32(i))
+        rtt = min(rtt, (_time.time() - t0) * 1000.0)
+    return rtt
+
+
 class StageTimer:
     """Accumulating per-stage wall-clock timer with device sync."""
 

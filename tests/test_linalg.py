@@ -102,6 +102,22 @@ def test_gram_nullvec4_adj(rng):
     np.testing.assert_allclose(z[0], [0, 0, 0, 1])
 
 
+def test_gram_nullvec4_adj_scale_invariant(rng):
+    # Cofactors are cubic in G (~||A||^6): without normalization this
+    # overflows f32 at row scale ~1e3 and underflows at ~1e-3 (r2
+    # review finding — returned garbage with |dot| = 0, no NaN).
+    v = rng.normal(size=(32, 4))
+    v = v / np.linalg.norm(v, axis=-1, keepdims=True)
+    B = rng.normal(size=(32, 4, 4))
+    P = np.eye(4)[None] - np.einsum("bi,bj->bij", v, v)
+    A0 = np.einsum("bmi,bij->bmj", B, P) + 1e-5 * rng.normal(size=(32, 4, 4))
+    for scale in (1e-4, 1e-3, 1.0, 1e3, 1e4):
+        A = (A0 * scale).astype(np.float32)
+        nv = np.array(linalg.gram_nullvec4_adj(jnp.asarray(A)))
+        dots = np.abs(np.einsum("bi,bi->b", nv, v))
+        assert dots.min() > 0.99, (scale, dots.min())
+
+
 def test_smallest_eigvec(rng):
     # Construct matrices with a known small eigenpair.
     Q, _ = np.linalg.qr(rng.normal(size=(16, 5, 5)))

@@ -86,13 +86,9 @@ def main():
     c_final = float(costs[-1])
     print(f"compile+first: {time.time()-t_c:.1f}s", flush=True)
 
-    one = jnp.float32(1.0) + 0.0
-    _ = float(one)
-    rtt = float("inf")
-    for i in range(5):
-        tt = time.time()
-        _ = float(one + jnp.float32(i))
-        rtt = min(rtt, (time.time() - tt) * 1000.0)
+    from sfm_tpu.utils.timing import measure_rtt
+
+    rtt = measure_rtt()
 
     best = float("inf")
     for _ in range(3):

@@ -73,13 +73,9 @@ def main():
         flush=True,
     )
 
-    one = jnp.float32(1.0) + 0.0
-    _ = float(one)
-    rtt = float("inf")
-    for i in range(5):
-        t0 = time.time()
-        _ = float(one + jnp.float32(i))
-        rtt = min(rtt, (time.time() - t0) * 1000.0)
+    from sfm_tpu.utils.timing import measure_rtt
+
+    rtt = measure_rtt()
     print(f"rtt {rtt:.1f} ms", flush=True)
 
     best = float("inf")
