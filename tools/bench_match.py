@@ -53,32 +53,36 @@ def main():
         ("pallas-bm128", lambda a, b: match_top2_pallas(a, b, bm=128),
          jnp.float32),
     ]
+    # Warm up / compile each variant, record correctness.
+    runnable = []
+    sample = slice(0, 256)
+    ref_idx = (d1[sample] @ d2.T).argmax(1)
     for name, fn, dtype in variants:
         a = jnp.asarray(d1, dtype)
         b = jnp.asarray(d2, dtype)
-
-        def run():
-            return fn(a, b)
-
         try:
-            best, second, idx = run()
+            best, second, idx = fn(a, b)
             _ = float(jnp.sum(best[:1].astype(jnp.float32)))  # sync
         except Exception as e:  # pragma: no cover - backend-specific
             print(f"{name}: unavailable ({type(e).__name__})")
             continue
-        t_best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            outs = [run()[0] for _ in range(8)]
-            _ = float(sum(jnp.sum(o[:1].astype(jnp.float32)) for o in outs))
-            t_best = min(t_best, (time.time() - t0) / 8)
-        # Correctness vs numpy argmax on a sample
-        sample = slice(0, 256)
-        ref_idx = (d1[sample] @ d2.T).argmax(1)
         agree = float((np.array(idx[sample]) == ref_idx).mean())
+        runnable.append((name, fn, a, b, agree))
+
+    # Interleave variant reps (measurement convention: relay throughput
+    # drifts over a process lifetime).
+    t_best = {name: float("inf") for name, *_ in runnable}
+    for _rep in range(3):
+        for name, fn, a, b, _agree in runnable:
+            t0 = time.time()
+            outs = [fn(a, b)[0] for _ in range(8)]
+            _ = float(sum(jnp.sum(o[:1].astype(jnp.float32)) for o in outs))
+            t_best[name] = min(t_best[name], (time.time() - t0) / 8)
+    for name, fn, a, b, agree in runnable:
+        t = t_best[name]
         print(
-            f"{name}: {t_best*1e3:.2f} ms  "
-            f"({flops/t_best/1e9:.0f} GFLOP/s)  argmax agreement {agree:.3f}"
+            f"{name}: {t*1e3:.2f} ms  "
+            f"({flops/t/1e9:.0f} GFLOP/s)  argmax agreement {agree:.3f}"
         )
 
 
