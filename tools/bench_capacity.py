@@ -52,13 +52,9 @@ def main():
     mcfg = MatchConfig()
 
     # RTT estimate for amortized timing (CLAUDE.md).
-    one = jnp.float32(1.0) + 0.0
-    float(np.asarray(one))
-    rtt = 1e9
-    for i in range(5):
-        t0 = time.time()
-        float(np.asarray(one + jnp.float32(i)))
-        rtt = min(rtt, (time.time() - t0) * 1000)
+    from sfm_tpu.utils.timing import measure_rtt
+
+    rtt = measure_rtt()
     print(f"rtt ~ {rtt:.1f} ms", file=sys.stderr)
 
     def timeit(fn, label, n=8):

@@ -44,13 +44,9 @@ def main():
     jax.block_until_ready((img1, img2))
     cfg = SiftConfig(max_pts_per_octave=1024)
 
-    one = jnp.float32(1.0) + 0.0
-    float(np.asarray(one))
-    rtt = 1e9
-    for i in range(5):
-        t0 = time.time()
-        float(np.asarray(one + jnp.float32(i)))
-        rtt = min(rtt, (time.time() - t0) * 1000)
+    from sfm_tpu.utils.timing import measure_rtt
+
+    rtt = measure_rtt()
     print(f"rtt ~ {rtt:.1f} ms", file=sys.stderr)
 
     def timeit(fn, label, n=10):
