@@ -144,9 +144,13 @@ def ransac_essential(
     E = E_bank[best]
 
     A_all = epipolar.eight_point_matrix(x1n, x2n)  # [N, 9]
+    r = epipolar.epipolar_residuals(E, x1, x2)
 
-    def polish(E, _):
-        r = epipolar.epipolar_residuals(E, x1, x2)
+    def polish(carry, _):
+        # Residuals ride the carry: recomputing them for the incumbent
+        # E every iteration (and once more after the scan) doubled the
+        # serialized residual evaluations for bit-identical results.
+        E, r = carry
         w = ((r < threshold) & mask).astype(x1.dtype)
         G = jnp.einsum("ni,n,nj->ij", A_all, w, A_all)
         e = linalg.smallest_eigvec_power(G)
@@ -157,12 +161,12 @@ def ransac_essential(
         c_old = jnp.sum(w).astype(jnp.int32)
         r_new = epipolar.epipolar_residuals(E_new, x1, x2)
         c_new = jnp.sum((r_new < threshold) & mask).astype(jnp.int32)
-        return jnp.where(c_new >= c_old, E_new, E), None
+        take = c_new >= c_old
+        return (jnp.where(take, E_new, E), jnp.where(take, r_new, r)), None
 
     if refit_iters:
-        E, _ = jax.lax.scan(polish, E, None, length=refit_iters)
+        (E, r), _ = jax.lax.scan(polish, (E, r), None, length=refit_iters)
 
-    r = epipolar.epipolar_residuals(E, x1, x2)
     inl = (r < threshold) & mask
     return RansacResult(
         E=E,

@@ -89,9 +89,12 @@ def refine_relative_pose(
         return jnp.sum(c * w)
 
     def step(carry, _):
-        R0, t0, lam = carry
+        # Residuals of the incumbent pose ride the carry: accepted steps
+        # carry r_new, which equals the next iteration's zero-parameter
+        # residual up to ~1 ulp (so3_exp(0)/renormalization round-off) —
+        # halves the serialized residual evals.
+        R0, t0, lam, r = carry
         zero = jnp.zeros((5,), x1.dtype)
-        r = residuals(zero, R0, t0)
         J = jax.jacfwd(residuals)(zero, R0, t0)  # [N, 5]
         w = w_in * _huber_weights(r, huber_delta)
         JtW = J.T * w[None, :]
@@ -112,11 +115,13 @@ def refine_relative_pose(
         tn = tn / jnp.linalg.norm(tn)
         lam = jnp.where(ok, lam * 0.33, lam * 8.0)
         lam = jnp.clip(lam, 1e-10, 1e4)
-        return (Rn, tn, lam), c_new
+        r_carry = jnp.where(ok, r_new, r)
+        return (Rn, tn, lam, r_carry), c_new
 
     r0 = _sampson(essential_from_pose(R, t), x1, x2)
     c0 = cost_of(r0, w_in)
-    (Rf, tf, _), _ = jax.lax.scan(step, (R, t, jnp.asarray(1e-4, x1.dtype)), None, length=iters)
-    rf = _sampson(essential_from_pose(Rf, tf), x1, x2)
+    (Rf, tf, _, rf), _ = jax.lax.scan(
+        step, (R, t, jnp.asarray(1e-4, x1.dtype), r0), None, length=iters
+    )
     cf = cost_of(rf, w_in)
     return RefineResult(R=Rf, t=tf, E=essential_from_pose(Rf, tf), cost=cf, initial_cost=c0)
