@@ -80,7 +80,7 @@ def recover_pose(E, x1, x2, weights=None, *, sweeps: int = 8):
     zero = jnp.zeros_like(ts)
     P1 = tri.make_projection(eye, zero)  # [4,3,4] identity cams
     P2 = tri.make_projection(Rs, ts)
-    X, _, _ = tri.triangulate(
+    X, w, finite = tri.triangulate(
         x1[None], x2[None], P1, P2, sweeps=sweeps
     )  # [4, N, 3]
     z1 = X[..., 2]
@@ -98,4 +98,5 @@ def recover_pose(E, x1, x2, weights=None, *, sweeps: int = 8):
         "votes": votes,
         "points": X[best],
         "front": good[best],
+        "finite": finite[best],
     }

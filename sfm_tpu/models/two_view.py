@@ -84,11 +84,12 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
     R_fin = p2["R"]
     t_fin = p2["t"]
     ref = ref._replace(R=R_fin, t=t_fin)
-    P1 = tri.make_projection(jnp.eye(3, dtype=x1.dtype), jnp.zeros(3, x1.dtype))
-    P2 = tri.make_projection(R_fin, t_fin)
-    X, w, finite = tri.triangulate(x1, x2, P1, P2)
-    z2 = tri.depths(X, ref.R, ref.t)
-    cheir = (X[..., 2] > 0) & (z2 > 0)
+    # recover_pose already triangulated every correspondence against
+    # the winning candidate (it votes over ALL points) — reuse that
+    # instead of a second identical DLT solve.
+    X = p2["points"]
+    finite = p2["finite"]
+    cheir = p2["front"]
     # Re-score inliers under the refined model.
     from sfm_tpu.geometry import epipolar
 
