@@ -79,6 +79,10 @@ def cmd_reconstruct(args):
             "num_inliers": int(res.num_inliers),
             "num_points": int(valid.sum()),
             "mean_reproj_px": round(err_px, 4),
+            # Recovered relative pose (reference prints nothing; the
+            # pose otherwise only lives in the point cloud's frame).
+            "R": np.round(np.array(res.R), 6).tolist(),
+            "t": np.round(np.array(res.t), 6).tolist(),
         }
         state = None
     else:
