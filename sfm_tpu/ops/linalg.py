@@ -271,6 +271,14 @@ def eigh3x3(A):
     """
     A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
     dt = A.dtype
+    # Scale-invariance: the eigenvector cross products are quadratic in
+    # A (norms quartic), overflowing f32 for ||A|| >= ~1e9 and
+    # denormalizing below ~1e-18.  Normalize by the largest |entry| and
+    # scale the eigenvalues back at the end (eigenvectors are
+    # scale-free).
+    amax = jnp.max(jnp.abs(A), axis=(-2, -1))
+    ascale = jnp.where(amax > 1e-30, amax, 1.0)
+    A = A / ascale[..., None, None]
     q = jnp.trace(A, axis1=-2, axis2=-1) / 3.0
     d0 = A[..., 0, 0] - q
     d1 = A[..., 1, 1] - q
@@ -339,7 +347,7 @@ def eigh3x3(A):
     w0 = jnp.where(use_max, mu_lo, lam_a)
     w1 = jnp.where(use_max, mu_hi, mu_lo)
     w2 = jnp.where(use_max, lam_a, mu_hi)
-    x = jnp.stack([w0, w1, w2], axis=-1)
+    x = jnp.stack([w0, w1, w2], axis=-1) * ascale[..., None]
     # Near-isotropic matrices: eigenvalues are all ~q and ANY orthonormal
     # V works; the construction above already degrades gracefully there
     # (fallback axes), so no special case is needed.

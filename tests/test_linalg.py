@@ -73,6 +73,22 @@ def test_eigh3x3_degenerate():
     assert np.abs(rec - A).max() < 2e-3
 
 
+def test_eigh3x3_scale_invariant(rng):
+    # Cross-product eigenvector norms are quartic in ||A||: without
+    # input normalization the solver overflowed at ||A|| >= 1e9 and
+    # denormalized below 1e-18 (V collapsed to zero, ortho error 1.0).
+    A0 = rng.normal(size=(32, 3, 3)).astype(np.float64)
+    A0 = A0 + A0.transpose(0, 2, 1)
+    for scale in (1e-18, 1e-9, 1.0, 1e9, 1e15):
+        A = (A0 * scale).astype(np.float32)
+        w, V = linalg.eigh3x3(jnp.asarray(A))
+        w, V = np.array(w), np.array(V)
+        wn = np.linalg.eigvalsh(A.astype(np.float64))
+        assert np.abs(w - wn).max() <= 1e-5 * max(np.abs(wn).max(), 1e-30), scale
+        I = np.einsum("bki,bkj->bij", V, V)
+        assert np.abs(I - np.eye(3)).max() < 1e-5, scale
+
+
 def test_svd3x3_analytic_vs_jacobi(rng):
     M = rng.normal(size=(64, 3, 3)).astype(np.float32)
     Ua, sa, Va = linalg.svd3x3(jnp.asarray(M))
