@@ -1,17 +1,95 @@
-"""Incremental multi-view SfM on the dino sequence (driver config 3)."""
+"""Incremental multi-view SfM on the dino sequence (driver config 3),
+plus a synthetic-orbit run with ground-truth poses for the north-star
+ATE-after-BA metric (the dino set has no GT trajectory; SURVEY.md §6)."""
 
 import math
 import pathlib
 
 import numpy as np
-import jax
+import jax.numpy as jnp
 import pytest
 
 from sfm_tpu.config import SiftConfig, PipelineConfig, RansacConfig
 from sfm_tpu.io.image_io import load_gray
 from sfm_tpu.models import incremental
+from sfm_tpu.sift.frontend import Keypoints, SiftResult
+from sfm_tpu.utils import metrics
 
 DINO = pathlib.Path("/root/reference/data/dino")
+
+
+def _look_at(C, target=np.zeros(3), up=(0.0, 1.0, 0.0)):
+    """World->camera rotation with +z toward `target` from center C."""
+    z = target - C
+    z = z / np.linalg.norm(z)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    return R, -R @ C
+
+
+def _synthetic_orbit(
+    n_images=8, n_points=220, kp_cap=256, f=500.0, w=640, h=480,
+    step_deg=8.0, noise_px=0.3, seed=3,
+):
+    """Cameras orbiting a random cloud; returns (feats, K, R_gt, t_gt).
+
+    Features are injected via run_incremental(feats=...) — unique
+    near-orthogonal unit descriptors per world point, per-frame slot
+    shuffles, and pixel noise — exercising matching, PnP registration,
+    windowed + global BA on a problem whose trajectory is known.
+    """
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-1.0, 1.0, (n_points, 3))
+    desc = rng.normal(size=(n_points, 128)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+    feats, R_gt, t_gt = [], [], []
+    for i in range(n_images):
+        th = math.radians(step_deg * i)
+        C = np.array([5.0 * math.sin(th), 0.6, -5.0 * math.cos(th)])
+        R, t = _look_at(C)
+        R_gt.append(R)
+        t_gt.append(t)
+        xc = X @ R.T + t
+        uv = (xc[:, :2] / xc[:, 2:3]) * f + np.array([w / 2, h / 2])
+        uv = uv + rng.normal(scale=noise_px, size=uv.shape)
+        slots = rng.permutation(kp_cap)[:n_points]
+        x_s = np.zeros(kp_cap, np.float32)
+        y_s = np.zeros(kp_cap, np.float32)
+        d_s = np.zeros((kp_cap, 128), np.float32)
+        v_s = np.zeros(kp_cap, bool)
+        x_s[slots] = uv[:, 0]
+        y_s[slots] = uv[:, 1]
+        nd = desc + rng.normal(scale=0.03, size=desc.shape).astype(np.float32)
+        d_s[slots] = nd / np.linalg.norm(nd, axis=1, keepdims=True)
+        v_s[slots] = True
+        ones = np.ones(kp_cap, np.float32)
+        kp = Keypoints(
+            x=jnp.asarray(x_s), y=jnp.asarray(y_s), scale=jnp.asarray(ones),
+            sharpness=jnp.asarray(ones), edgeness=jnp.asarray(ones),
+            orientation=jnp.zeros(kp_cap), octave=jnp.zeros(kp_cap, jnp.int32),
+            valid=jnp.asarray(v_s),
+        )
+        feats.append(SiftResult(keypoints=kp, descriptors=jnp.asarray(d_s)))
+    return feats, K, np.stack(R_gt), np.stack(t_gt)
+
+
+def test_incremental_synthetic_orbit_ate():
+    feats, K, R_gt, t_gt = _synthetic_orbit()
+    cfg = PipelineConfig(
+        ransac=RansacConfig(n_hyps=512, threshold=3e-6, chunk=128),
+    )
+    imgs = [None] * len(feats)  # unused when feats= is given
+    res = incremental.run_incremental(imgs, K, cfg, ba_iters=12, feats=feats)
+    st = res.state
+    assert np.array(st.pose_valid).all(), np.array(st.pose_valid)
+    ate, _ = metrics.ate_rmse(np.array(st.R), np.array(st.t), R_gt, t_gt)
+    # Orbit radius 5.0; sub-1% trajectory error after BA.
+    assert ate < 0.05, ate
+    err_px = math.sqrt(float(res.mean_reproj) / 2) * 500.0
+    assert err_px < 1.0, err_px
 
 
 @pytest.mark.skipif(not DINO.exists(), reason="dino dataset not available")
