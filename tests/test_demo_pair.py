@@ -1,0 +1,60 @@
+"""Reference SIFT-demo parity: extract + match + homography on the
+CudaSift stereo pair.
+
+The reference's own integration test for its feature subsystem is
+mainSift.cpp:25-93 (extract on data/left.pgm + data/righ.pgm, brute
+match, FindHomography, report match counts) — SURVEY.md §4 item 4.
+This runs the same pipeline on the same checked-in 1280x960 pair and
+asserts healthy feature / match / homography-inlier counts, i.e. the
+frontend generalizes beyond the dino turntable fixture.
+"""
+
+import pathlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sfm_tpu.config import MatchConfig, SiftConfig
+from sfm_tpu.geometry import homography
+from sfm_tpu.io.image_io import load_gray
+from sfm_tpu.sift import frontend, match as match_mod
+
+DATA = pathlib.Path("/root/reference/CudaSift/data")
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="CudaSift demo pair not available")
+def test_demo_pair_match_homography():
+    img1 = load_gray(DATA / "left.pgm")
+    img2 = load_gray(DATA / "righ.pgm")
+    assert img1.shape == (960, 1280)
+
+    cfg = SiftConfig(thresh=3.0, max_pts_per_octave=512)
+    f1 = frontend.extract_sift(jnp.asarray(img1), cfg)
+    f2 = frontend.extract_sift(jnp.asarray(img2), cfg)
+    n1 = int(f1.keypoints.count())
+    n2 = int(f2.keypoints.count())
+    assert n1 > 500 and n2 > 500, (n1, n2)
+
+    m = match_mod.match(
+        f1.descriptors, f2.descriptors,
+        f1.keypoints.valid, f2.keypoints.valid,
+        MatchConfig(),
+    )
+    uv1 = jnp.stack([f1.keypoints.x, f1.keypoints.y], axis=-1)
+    uv2 = jnp.stack([f2.keypoints.x, f2.keypoints.y], axis=-1)[m.index]
+    n_match = int(jnp.sum(m.valid))
+    assert n_match > 500, n_match
+
+    res = homography.ransac_homography(
+        jax.random.PRNGKey(0), uv1, uv2, m.valid, n_hyps=1024, threshold=9.0
+    )
+    n_inl = int(res.num_inliers)
+    # The pair is a wide-baseline stereo of a mostly-planar scene; the
+    # reference reports a large matching fraction under its 5 px
+    # homography gate (mainSift.cpp:80-81).
+    assert n_inl > 0.5 * n_match, (n_inl, n_match)
+    err2 = np.asarray(homography.transfer_errors(res.H, uv1, uv2))
+    e = err2[np.asarray(res.inliers)]
+    assert np.median(e) < 9.0, np.median(e)
