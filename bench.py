@@ -115,8 +115,13 @@ def main():
     # TPU-side Pallas parity: the interpret-mode tests prove kernel
     # semantics on CPU; this run proves the MOSAIC-COMPILED kernels
     # agree with the XLA gather path on the real device (r1 verdict
-    # weak item 7).  Compare descriptors of keypoints the two paths
-    # both detect (detection is shared, sampling differs).
+    # weak item 7).  Detection is shared, so keypoints are matched by
+    # (x, y, scale) and each Pallas keypoint is compared against the
+    # NEAREST-ORIENTATION XLA twin at that position: near-tie histogram
+    # peaks may legitimately swap order between slot i and its dual-
+    # peak duplicate slot (both orientations exist in both sets), and a
+    # slot-by-slot comparison misreads that swap as divergence
+    # (diagnosed r2, tools/diag_parity.py / diag_hist.py).
     try:
         import dataclasses
 
@@ -124,19 +129,39 @@ def main():
         s_x = frontend.extract_sift(
             img1, dataclasses.replace(cfg.sift, use_pallas=False)
         )
-        v = np.array(s_p.keypoints.valid) & np.array(s_x.keypoints.valid)
-        dp = np.array(s_p.descriptors)[v]
-        dx = np.array(s_x.descriptors)[v]
-        corr = (dp * dx).sum(1)
-        ori_d = np.abs(
-            (np.array(s_p.keypoints.orientation)[v]
-             - np.array(s_x.keypoints.orientation)[v] + 180.0) % 360.0 - 180.0
-        )
+
+        def fields(s):
+            kp = s.keypoints
+            v = np.array(kp.valid)
+            return (np.array(kp.x)[v], np.array(kp.y)[v],
+                    np.array(kp.scale)[v], np.array(kp.orientation)[v],
+                    np.array(s.descriptors)[v])
+
+        xp, yp, sp_, op, dp = fields(s_p)
+        xx, yx, sx_, ox, dx = fields(s_x)
+        bypos = {}
+        for j in range(len(xx)):
+            bypos.setdefault(
+                (round(float(xx[j]), 2), round(float(yx[j]), 2),
+                 round(float(sx_[j]), 3)), []).append(j)
+        corr, ori_d = [], []
+        for i in range(len(xp)):
+            js = bypos.get(
+                (round(float(xp[i]), 2), round(float(yp[i]), 2),
+                 round(float(sp_[i]), 3)), [])
+            if not js:
+                continue
+            dd = np.abs((op[i] - ox[js] + 180.0) % 360.0 - 180.0)
+            j = js[int(dd.argmin())]
+            ori_d.append(dd.min())
+            corr.append(float(dp[i] @ dx[j]))
+        corr = np.asarray(corr)
+        ori_d = np.asarray(ori_d)
         frac = float((corr > 0.999).mean())
         log(
-            f"pallas-vs-xla parity on device: n={int(v.sum())} "
-            f"corr_min={corr.min():.5f} corr>0.999 frac={frac:.4f} "
-            f"orient_max_deg={ori_d.max():.3f}"
+            f"pallas-vs-xla parity on device (pos+nearest-ori matched): "
+            f"n={len(corr)} corr_min={corr.min():.5f} "
+            f"corr>0.999 frac={frac:.4f} orient_max_deg={ori_d.max():.3f}"
         )
         if frac < 0.99:
             log("WARNING: compiled Pallas kernels diverge from XLA path")

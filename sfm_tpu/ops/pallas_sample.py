@@ -147,7 +147,7 @@ _DN_ROWS = (((0,), (0,)), ((), ()))   # patch [R, P] x A [R, S] -> [P, S]
 _DN_LANE = (((1,), (1,)), ((), ()))   # a [M, S]   x b [N, S] -> [M, N]
 
 
-def _sample_matmul_wide(patch, px, py, P):
+def _sample_matmul_wide(patch, px, py, P, precision=None):
     """Bilinear-sample `patch` [P + 8, P] at S positions -> [1, S].
 
     Wide layout: px/py are [1, S] with samples in LANES.  The narrow
@@ -157,6 +157,13 @@ def _sample_matmul_wide(patch, px, py, P):
     keypoint descriptor stage (2.79 -> 1.14 ms, r2).  Coords are
     clamped to the patch (replicate-border, matching the reference's
     clamp-to-edge texture fetches).
+
+    `precision`: the MXU truncates dot INPUTS to bf16 at default
+    precision (preferred_element_type only widens the accumulator), so
+    sampled intensities carry ~0.4% rounding; consumers take central
+    differences, which amplifies it to ~3% on orientation histograms
+    (measured on-device r2, tools/diag_hist.py).  The orientation path
+    passes HIGHEST; the descriptor path tolerates the default.
     """
     S = px.shape[1]
     rows_n = P + 8
@@ -166,12 +173,9 @@ def _sample_matmul_wide(patch, px, py, P):
     idx_c = jax.lax.broadcasted_iota(jnp.int32, (P, S), 0).astype(jnp.float32)
     A = jnp.maximum(0.0, 1.0 - jnp.abs(py - idx_r))  # [rows_n, S]
     B = jnp.maximum(0.0, 1.0 - jnp.abs(px - idx_c))  # [P, S]
-    # NOTE: keep f32 — the consumers take central differences of the
-    # sampled values, and bf16 input rounding (~0.4% of the ~100-scale
-    # intensities) wipes out the small gradients (parity error > 1e3
-    # on weak histogram bins, measured r2).
     tmp = jax.lax.dot_general(
-        patch, A, _DN_ROWS, preferred_element_type=jnp.float32
+        patch, A, _DN_ROWS, preferred_element_type=jnp.float32,
+        precision=precision,
     )                                                # [P, S]
     return jnp.sum(tmp * B, axis=0, keepdims=True)   # [1, S]
 
@@ -325,7 +329,8 @@ def _orient_sample_wide(patch, fx, fy, P):
     grp = s_idx // 121
     gx = jnp.where(grp == 0, 1.0, jnp.where(grp == 1, -1.0, 0.0))
     gy = jnp.where(grp == 2, 1.0, jnp.where(grp == 3, -1.0, 0.0))
-    return _sample_matmul_wide(patch, fx + xd + gx, fy + yd + gy, P)
+    return _sample_matmul_wide(patch, fx + xd + gx, fy + yd + gy, P,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _orient_post_wide(vals, inv2s2):
