@@ -11,9 +11,12 @@
 // image).  Build: `make -C native` -> libsfm_io.so.
 
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -188,6 +191,61 @@ int sfm_load_gray_batch(const char** paths, int n, float* out, long w, long h,
   return ok.load();
 }
 
+// ---------------------------------------------------------------------------
+// Decode-ahead prefetcher: worker threads decode frames into a bounded
+// ring of float buffers while the consumer (the JAX pipeline) uploads
+// and processes earlier frames.  TPU-native replacement for the
+// reference's synchronous per-frame cv::imread ingest (reference
+// src/main.cpp:251-257): frame decode overlaps accelerator compute in
+// sequence/incremental mode.  In-order delivery; decode failures are
+// reported per frame without stalling the stream.
+
+struct SfmPrefetcher {
+  std::vector<std::string> paths;
+  long w = 0, h = 0;
+  int depth = 0;
+  // ring slot s holds frame i (i % depth == s) once ready[s] == i
+  std::vector<std::vector<float>> slots;
+  std::vector<long> ready;      // frame id decoded into slot, -1 = empty
+  std::vector<int> slot_rc;     // 0 ok, 2 decode failure
+  long next_claim = 0;          // next frame index a worker takes
+  long next_out = 0;            // next frame index the consumer wants
+  bool closing = false;
+  std::mutex mu;
+  std::condition_variable cv_worker, cv_consumer;
+  std::vector<std::thread> threads;
+};
+
+static void prefetch_worker(SfmPrefetcher* pf) {
+  std::vector<unsigned char> buf;
+  for (;;) {
+    long i;
+    {
+      std::unique_lock<std::mutex> lk(pf->mu);
+      pf->cv_worker.wait(lk, [&] {
+        return pf->closing ||
+               (pf->next_claim < (long)pf->paths.size() &&
+                pf->next_claim < pf->next_out + pf->depth);
+      });
+      if (pf->closing) return;
+      i = pf->next_claim++;
+    }
+    long gw = 0, gh = 0;
+    buf.clear();
+    float* out = pf->slots[i % pf->depth].data();
+    int rc = 0;
+    if (!read_file(pf->paths[i].c_str(), &buf) ||
+        !decode_gray(buf.data(), buf.size(), out, &gw, &gh, pf->w, pf->h))
+      rc = 2;
+    {
+      std::lock_guard<std::mutex> lk(pf->mu);
+      pf->ready[i % pf->depth] = i;
+      pf->slot_rc[i % pf->depth] = rc;
+    }
+    pf->cv_consumer.notify_all();
+  }
+}
+
 // Binary little-endian PLY writer: points [n, 3] f32, optional colors
 // [n, 3] u8 (pass null for white), valid mask [n] u8 (null = all).
 // Returns number of vertices written, or -1 on error.
@@ -213,6 +271,76 @@ long sfm_write_ply(const char* path, const float* points, const unsigned char* c
   }
   fclose(f);
   return count;
+}
+
+// Open a decode-ahead stream over `n` same-sized frames.  `depth`
+// frames are decoded ahead of the consumer by `n_threads` workers.
+// Returns an opaque handle, or null if the first header can't be
+// parsed (all frames must match the first frame's dimensions).
+void* sfm_prefetch_open(const char** paths, int n, int depth, int n_threads,
+                        long* w, long* h) {
+  if (n <= 0) return nullptr;
+  {
+    std::vector<unsigned char> buf;
+    PnmHeader hd;
+    if (!read_file(paths[0], &buf) ||
+        !parse_pnm(buf.data(), buf.size(), &hd))
+      return nullptr;
+    *w = hd.w;
+    *h = hd.h;
+  }
+  if (depth <= 0) depth = 4;
+  if (depth > n) depth = n;
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 4;
+  }
+  if (n_threads > depth) n_threads = depth;
+  SfmPrefetcher* pf = new SfmPrefetcher();
+  pf->paths.assign(paths, paths + n);
+  pf->w = *w;
+  pf->h = *h;
+  pf->depth = depth;
+  pf->slots.assign(depth, std::vector<float>((size_t)*w * *h));
+  pf->ready.assign(depth, -1);
+  pf->slot_rc.assign(depth, 0);
+  for (int t = 0; t < n_threads; ++t)
+    pf->threads.emplace_back(prefetch_worker, pf);
+  return pf;
+}
+
+// Copy the next frame (in order) into `out` ([h, w] f32), blocking
+// until it is decoded.  Returns 0 on success, 1 at end of stream,
+// 2 if that frame failed to decode (stream continues).  `index`
+// receives the frame's position in the open() path list.
+int sfm_prefetch_next(void* handle, float* out, long* index) {
+  SfmPrefetcher* pf = (SfmPrefetcher*)handle;
+  std::unique_lock<std::mutex> lk(pf->mu);
+  if (pf->next_out >= (long)pf->paths.size()) return 1;
+  const long i = pf->next_out;
+  pf->cv_consumer.wait(lk, [&] { return pf->ready[i % pf->depth] == i; });
+  const int rc = pf->slot_rc[i % pf->depth];
+  if (rc == 0)
+    memcpy(out, pf->slots[i % pf->depth].data(),
+           (size_t)pf->w * pf->h * sizeof(float));
+  if (index) *index = i;
+  pf->ready[i % pf->depth] = -1;
+  pf->next_out = i + 1;
+  lk.unlock();
+  pf->cv_worker.notify_all();  // the freed slot unblocks a claim
+  return rc;
+}
+
+// Join workers and free the stream.
+void sfm_prefetch_close(void* handle) {
+  SfmPrefetcher* pf = (SfmPrefetcher*)handle;
+  {
+    std::lock_guard<std::mutex> lk(pf->mu);
+    pf->closing = true;
+  }
+  pf->cv_worker.notify_all();
+  for (auto& t : pf->threads) t.join();
+  delete pf;
 }
 
 }  // extern "C"

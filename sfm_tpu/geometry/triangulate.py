@@ -41,7 +41,7 @@ def dlt_system(x1, x2, P1, P2):
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "w_clamp", "solver"))
 def triangulate(x1, x2, P1, P2, *, sweeps: int = 10, w_clamp: float = 5.0,
-                solver: str = "adj"):
+                solver: str = "jacobi"):
     """Triangulate all correspondences; returns (X [..., N, 3], w [..., N]).
 
     ``w`` is the homogeneous scale; points with |w| below 1/w_clamp of the
@@ -49,9 +49,10 @@ def triangulate(x1, x2, P1, P2, *, sweeps: int = 10, w_clamp: float = 5.0,
     to the origin (SfM/kernels.h:433-450); we return the dehomogenized
     points plus a finite-point validity mask instead of destroying data.
 
-    solver: "adj" (closed-form adjugate null vector, default — no
-    sequential sweep chain) or "jacobi" (fixed-`sweeps` Gram Jacobi,
-    retained for A/B timing and as a cross-check).
+    solver: "jacobi" (fixed-`sweeps` Gram Jacobi — the default) or
+    "adj" (closed-form adjugate null vector).  The interleaved
+    on-device A/B (tools/exp_solver_ab.py, r2) measured the geometry
+    stage faster with the jacobi solvers; see ops.linalg.svd3x3.
     """
     if solver not in ("adj", "jacobi"):
         raise ValueError(f"triangulate: unknown solver {solver!r}")

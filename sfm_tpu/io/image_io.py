@@ -69,6 +69,44 @@ def load_gray(path) -> np.ndarray:
         return np.asarray(im.convert("F"), dtype=np.float32)
 
 
+def iter_gray_frames(paths, depth: int = 4, n_threads: int = 0):
+    """Yield (index, [H, W] f32) frames in order with decode-ahead.
+
+    Native path: C++ worker pool decoding `depth` frames ahead of the
+    consumer (native/sfm_io.cpp sfm_prefetch_*), so sequence-mode frame
+    ingest overlaps accelerator compute (the reference decodes
+    synchronously per frame, src/main.cpp:251-257).  Pure-Python
+    fallback: a ThreadPoolExecutor with a bounded window of in-flight
+    decodes.
+    """
+    paths = [str(p) for p in paths]
+    try:
+        from sfm_tpu.io import native as _native
+
+        if _native.available():
+            with _native.FramePrefetcher(
+                paths, depth=depth, n_threads=n_threads
+            ) as pf:
+                yield from pf
+            return
+    except RuntimeError:
+        pass
+    import concurrent.futures as _cf
+
+    if depth <= 0:
+        depth = 4
+    with _cf.ThreadPoolExecutor(max_workers=max(1, min(depth, 8))) as ex:
+        pending = {}
+        nxt = 0
+        for i, p in enumerate(paths):
+            pending[i] = ex.submit(load_gray, p)
+            while len(pending) >= depth or (
+                i == len(paths) - 1 and pending
+            ):
+                yield nxt, pending.pop(nxt).result()
+                nxt += 1
+
+
 def save_ply(path, points, colors=None, valid=None):
     """Write a PLY point cloud (replaces the GL viewer output).
 

@@ -421,7 +421,7 @@ def _align_v2(E, V, u2):
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "method"))
-def svd3x3(E, *, sweeps: int = 8, method: str = "analytic"):
+def svd3x3(E, *, sweeps: int = 8, method: str = "jacobi"):
     """Batched 3x3 SVD ``E = U diag(s) V^T`` with descending s.
 
     TPU-native analog of the reference's branch-free device svd3
@@ -430,9 +430,13 @@ def svd3x3(E, *, sweeps: int = 8, method: str = "analytic"):
     *not* guaranteed det=+1; pose decomposition fixes signs (see
     geometry.pose).
 
-    method: "analytic" (closed-form eigh3x3, no sequential sweep
-    chain — the default) or "jacobi" (fixed-`sweeps` cyclic Jacobi,
-    retained for A/B timing and as a cross-check).
+    method: "jacobi" (fixed-`sweeps` cyclic Jacobi — the default) or
+    "analytic" (closed-form eigh3x3).  The analytic form was written to
+    cut dependency-chain latency, but an interleaved on-device A/B
+    (tools/exp_solver_ab.py, r2) measured the geometry stage 0.4 ms
+    FASTER with jacobi (2.64 vs 3.06 ms): the closed-form's cube roots,
+    trig and guarded normalizations cost more VPU issue slots than the
+    sweep chain's latency saves.
     """
     if method not in ("analytic", "jacobi"):
         raise ValueError(f"svd3x3: unknown method {method!r}")

@@ -145,3 +145,65 @@ def test_native_io_roundtrip(tmp_path, rng):
     assert n == valid.sum()
     head = out.read_bytes()[:200]
     assert f"element vertex {n}".encode() in head
+
+
+def _write_seq(tmp_path, rng, n=9, h=12, w=16):
+    paths = []
+    for i in range(n):
+        img = (rng.random((h, w)) * 255).astype(np.uint8)
+        img[0, 0] = i  # frame-identifying pixel
+        p = tmp_path / f"frame{i:02d}.pgm"
+        p.write_bytes(f"P5\n{w} {h}\n255\n".encode() + img.tobytes())
+        paths.append(p)
+    return paths
+
+
+def test_prefetcher_in_order_and_matches_load_gray(tmp_path, rng):
+    from sfm_tpu.io import image_io, native
+
+    paths = _write_seq(tmp_path, rng)
+    golden = [image_io.load_gray(p) for p in paths]
+    # Native decode-ahead stream (skip silently to the fallback check
+    # if the toolchain is unavailable).
+    if native.available():
+        got = list(native.FramePrefetcher(paths, depth=3, n_threads=2))
+        assert [i for i, _ in got] == list(range(len(paths)))
+        for (i, a), g in zip(got, golden):
+            np.testing.assert_allclose(a, g)
+    # iter_gray_frames dispatches native-or-fallback; same contract.
+    got2 = list(image_io.iter_gray_frames(paths, depth=3))
+    assert [i for i, _ in got2] == list(range(len(paths)))
+    for (i, a), g in zip(got2, golden):
+        np.testing.assert_allclose(a, g)
+
+
+def test_prefetcher_python_fallback(tmp_path, rng, monkeypatch):
+    from sfm_tpu.io import image_io, native
+
+    paths = _write_seq(tmp_path, rng, n=5)
+    golden = [image_io.load_gray(p) for p in paths]
+    monkeypatch.setattr(native, "available", lambda: False)
+    got = list(image_io.iter_gray_frames(paths, depth=2))
+    assert [i for i, _ in got] == list(range(len(paths)))
+    for (i, a), g in zip(got, golden):
+        np.testing.assert_allclose(a, g)
+
+
+def test_prefetcher_decode_failure_raises(tmp_path, rng):
+    from sfm_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    paths = _write_seq(tmp_path, rng, n=4)
+    # Corrupt frame 2 with a mismatched size (truncated payload).
+    paths[2].write_bytes(b"P5\n16 12\n255\n" + b"\x00" * 10)
+    pf = native.FramePrefetcher(paths, depth=2)
+    import pytest
+
+    next(pf)
+    next(pf)
+    with pytest.raises(ValueError):
+        next(pf)
+    pf.close()

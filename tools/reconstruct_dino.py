@@ -114,19 +114,31 @@ def main():
         n_frames = min(n_frames, 36)
     idxs = list(range(0, n_frames, args.step))
     paths = [f"/root/reference/data/dino/viff.{i:03d}.ppm" for i in idxs]
-    imgs = [jnp.asarray(load_gray(p)) for p in paths]
-    h, w = imgs[0].shape
+    h, w = None, None
     fx = args.fx
     fy = args.fy if args.fy > 0 else fx
-    cx = args.cx if args.cx >= 0 else w / 2
-    cy = args.cy if args.cy >= 0 else h / 2
-    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
     cfg = PipelineConfig(
         sift=SiftConfig(max_pts_per_octave=args.pts_per_octave),
         ransac=RansacConfig(n_hyps=1024, threshold=3e-6, chunk=256),
     )
     t0 = time.time()
-    feats = [frontend.extract_sift(im, cfg.sift) for im in imgs]
+    # Decode-ahead ingest: the native prefetcher (native/sfm_io.cpp)
+    # decodes frames on worker threads while the extract_sift dispatch
+    # for the previous frame runs on the accelerator, so frame decode
+    # overlaps device compute (the reference ingests synchronously via
+    # cv::imread, src/main.cpp:251-257).
+    from sfm_tpu.io.image_io import iter_gray_frames
+
+    imgs = [None] * len(paths)
+    feats = [None] * len(paths)
+    for i, im in iter_gray_frames(paths, depth=4):
+        imgs[i] = jnp.asarray(im)
+        feats[i] = frontend.extract_sift(imgs[i], cfg.sift)
+        if h is None:
+            h, w = imgs[i].shape
+    cx = args.cx if args.cx >= 0 else w / 2
+    cy = args.cy if args.cy >= 0 else h / 2
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
     res = incremental.run_incremental(
         imgs, K, cfg, ba_iters=args.ba_iters, seed=args.seed, feats=feats
     )
