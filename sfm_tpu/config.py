@@ -69,10 +69,11 @@ class RansacConfig:
     threshold: float = 1e-6      # symmetric epipolar dist^2, normalized coords
     chunk: int = 512
     refit_iters: int = 2
-    # Jacobi sweep count for the FALLBACK eigensolvers only (svd3x3
-    # method="jacobi" / triangulate solver="jacobi"); the default
-    # closed-form solvers have no iteration count, so this knob is
-    # inert at the default configuration.
+    # Jacobi sweep count for the fixed-sweep eigensolvers (svd3x3
+    # method="jacobi" / triangulate solver="jacobi" — the DEFAULTS
+    # since the r2 device A/B reversed the closed-form rewrite,
+    # tools/exp_solver_ab.py).  The analytic closed-form paths ignore
+    # it.
     sweeps: int = 10
     # Degenerate-configuration rejection: matches with pixel disparity
     # below this satisfy x^T E x = 0 for ANY skew-symmetric E (static

@@ -80,17 +80,32 @@ def iter_gray_frames(paths, depth: int = 4, n_threads: int = 0):
     decodes.
     """
     paths = [str(p) for p in paths]
+
+    def _all_pnm():
+        # The native decoder handles PNM only; anything else (PNG/JPG,
+        # which load_gray routes to PIL) must take the Python path so
+        # behavior doesn't depend on whether the toolchain is present.
+        try:
+            for p in paths:
+                with open(p, "rb") as f:
+                    if f.read(2) not in (b"P5", b"P6"):
+                        return False
+        except OSError:
+            return False
+        return True
+
+    pf = None
     try:
         from sfm_tpu.io import native as _native
 
-        if _native.available():
-            with _native.FramePrefetcher(
-                paths, depth=depth, n_threads=n_threads
-            ) as pf:
-                yield from pf
-            return
-    except RuntimeError:
-        pass
+        if _all_pnm() and _native.available():
+            pf = _native.FramePrefetcher(paths, depth=depth, n_threads=n_threads)
+    except (RuntimeError, ValueError):
+        pf = None  # open-time failure only: fall back before any yield
+    if pf is not None:
+        with pf:
+            yield from pf
+        return
     import concurrent.futures as _cf
 
     if depth <= 0:

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from sfm_tpu.models import bundle_adjust as ba
 from sfm_tpu.models.bundle_adjust import BAProblem
@@ -206,7 +206,7 @@ def run_dist_ba(
         mesh=mesh,
         in_specs=(rep, rep, sharded, sharded, sharded, sharded, sharded, rep),
         out_specs=(rep, rep, sharded, rep),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(
         R, t, X_sh,

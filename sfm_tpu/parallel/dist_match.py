@@ -16,7 +16,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from sfm_tpu.config import MatchConfig
 from sfm_tpu.sift.match import Matches, match_descriptors_top2, _NEG
@@ -69,7 +69,7 @@ def dist_match_top2(desc1, desc2_sh, valid2_sh, mesh: Mesh, *,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(desc1, desc2_sh, valid2_sh)
 

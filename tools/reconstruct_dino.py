@@ -198,7 +198,7 @@ def main():
         "n_points": int(st.n_points),
         "mean_reproj_norm2": float(res.mean_reproj),
         "mean_reproj_px": math.sqrt(max(float(res.mean_reproj), 0) / 2)
-        * 2360.0,
+        * math.sqrt(fx * fy),
         "elapsed_s": round(elapsed, 1),
         **circ,
         **tt_metrics,
