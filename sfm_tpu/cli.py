@@ -40,6 +40,22 @@ def _load_images(paths):
 
 
 def cmd_reconstruct(args):
+    # Distribution wiring must precede any jax computation
+    # (jax.distributed.initialize constraint).
+    mesh = None
+    if args.distributed or args.mesh:
+        from sfm_tpu.parallel import mesh as meshmod
+
+        if args.distributed:
+            n_proc = meshmod.init_distributed()
+            mesh = meshmod.make_global_mesh()
+            print(
+                f"distributed: {n_proc} processes, mesh over "
+                f"{mesh.size} devices", file=sys.stderr,
+            )
+        else:
+            mesh = meshmod.make_mesh(args.mesh if args.mesh > 0 else None)
+
     import numpy as np
     import jax.numpy as jnp
 
@@ -90,7 +106,8 @@ def cmd_reconstruct(args):
 
         t0 = time.perf_counter()
         res = incremental.run_incremental(
-            imgs, K, cfg, seed=args.seed, ba_iters=args.ba_iters
+            imgs, K, cfg, seed=args.seed, ba_iters=args.ba_iters,
+            closure_pairs=args.closure, mesh=mesh,
         )
         sync(res)
         timer.record("pipeline", time.perf_counter() - t0)
@@ -162,6 +179,27 @@ def main(argv=None):
     r.add_argument("--ransac-hyps", type=int, default=1024)
     r.add_argument("--ransac-thresh", type=float, default=3e-6)
     r.add_argument("--ba-iters", type=int, default=20)
+
+    def _pair(s):
+        a, b = s.split(",")
+        return (int(a), int(b))
+
+    r.add_argument(
+        "--closure", type=_pair, action="append", default=[],
+        metavar="I,J",
+        help="loop-closure frame pair (repeatable), e.g. --closure 35,0",
+    )
+    r.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help="shard matching + global BA over a local N-device mesh "
+             "(-1 = all local devices)",
+    )
+    r.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: jax.distributed.initialize from the standard "
+             "env (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+             "JAX_PROCESS_ID) and shard over ALL global devices",
+    )
     r.set_defaults(fn=cmd_reconstruct)
 
     args = p.parse_args(argv)

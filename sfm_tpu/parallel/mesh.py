@@ -80,15 +80,13 @@ def make_global_mesh(axis: str = DATA_AXIS) -> Mesh:
     """
     if jax.process_count() == 1:
         return make_mesh(axis=axis)
-    from jax.experimental import mesh_utils
-
-    n_local = jax.local_device_count()
-    n_total = jax.device_count()
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(n_local,),
-        dcn_mesh_shape=(n_total // n_local,),
-    )
-    return Mesh(devices.reshape(-1), (axis,))
+    # Host-major device order.  (Not mesh_utils.create_hybrid_device_mesh:
+    # that helper partitions by TPU *slice* and rejects the common
+    # 1-slice multi-host topology — and any CPU cluster — with
+    # "Number of slices 1 must equal ..."; exercised by
+    # tests/test_multihost.py's real 2-process cluster.)
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    return Mesh(np.array(devs), (axis,))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -97,6 +95,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def sharded_leading(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis))
+
+
+def put_replicated(mesh: Mesh, x):
+    """Global replicated array from a host value every process holds."""
+    return jax.device_put(x, replicated(mesh))
+
+
+def put_sharded(mesh: Mesh, x, axis: str = DATA_AXIS):
+    """Global leading-dim-sharded array from the FULL host value (every
+    process passes the same complete array; each keeps only its
+    shards).  For multi-host pipelines where each process only holds
+    its own block, use `put_local_shards` instead."""
+    return jax.device_put(x, sharded_leading(mesh, axis))
+
+
+def put_local_shards(mesh: Mesh, x_local, axis: str = DATA_AXIS):
+    """Global leading-dim-sharded array assembled from per-process
+    local blocks (each process passes ONLY its [n_global/n_proc, ...]
+    slice) — the multi-host ingest path: data loaded on the host that
+    owns it never crosses DCN."""
+    return jax.make_array_from_process_local_data(
+        sharded_leading(mesh, axis), np.asarray(x_local)
+    )
 
 
 def pad_to_multiple(n: int, m: int) -> int:
