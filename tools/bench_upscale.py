@@ -1,0 +1,136 @@
+"""Up-scale path benchmark at the reference's published configuration.
+
+CudaSift's README tables (/root/reference/CudaSift/README.md:111-134)
+report extract+match on a 1280x960 pixel pair (data/left.pgm /
+data/righ.pgm, the same stereo fixture):
+
+  upScale=False thresh=1.0 -> 4236 matches, 5.8 ms
+  upScale=False thresh=2.0 -> 2720 matches, 4.7 ms
+  upScale=True  thresh=2.0 -> 4502 matches, 13.2 ms   (headline row)
+
+This runs the TPU frontend + matcher at the same configs on the same
+images, reporting features / ratio-test matches / amortized ms so the
+up_scale=True path (SiftConfig.up_scale, ≙ cudaSiftH.cu:119-133) is
+exercised and timed on device (VERDICT r2 item 6 — previously only a
+CPU smoke test touched it).
+
+Usage: python tools/bench_upscale.py [--cpu] [--only NAME,NAME]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    if "--cpu" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from sfm_tpu.config import SiftConfig, MatchConfig
+    from sfm_tpu.io.image_io import load_gray
+    from sfm_tpu.sift import frontend, match as match_mod
+
+    img1 = jnp.asarray(load_gray("/root/reference/CudaSift/data/left.pgm"))
+    img2 = jnp.asarray(load_gray("/root/reference/CudaSift/data/righ.pgm"))
+    print(f"images: {img1.shape}", file=sys.stderr, flush=True)
+
+    def cfgf(thresh, up):
+        # Capacity class: the 1280x960 image yields ~4-13k features at
+        # these thresholds (reference tables); upscaled runs detect on
+        # a 2560x1920 base so give each octave 4096 slots.
+        return SiftConfig(
+            num_octaves=5,
+            max_pts_per_octave=4096,
+            sample_cap=16384,
+            thresh=thresh,
+            up_scale=up,
+        )
+
+    variants = {
+        "noup_t1.0": (cfgf(1.0, False), 4236, 5.8),
+        "noup_t2.0": (cfgf(2.0, False), 2720, 4.7),
+        "up_t2.0": (cfgf(2.0, True), 4502, 13.2),
+        "up_t3.0": (cfgf(3.0, True), 2529, 10.6),
+    }
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    if only:
+        names = only[0].split(",")
+        variants = {k: v for k, v in variants.items() if k in names}
+
+    mcfg = MatchConfig()
+
+    from sfm_tpu.utils.timing import measure_rtt
+
+    results = {}
+    for name, (cfg, ref_matches, ref_ms) in variants.items():
+        t0 = time.time()
+        r1 = frontend.extract_sift(img1, cfg)
+        r2 = frontend.extract_sift(img2, cfg)
+        m = match_mod.match(
+            r1.descriptors, r2.descriptors,
+            r1.keypoints.valid, r2.keypoints.valid, mcfg,
+        )
+        n1 = int(np.asarray(jnp.sum(r1.keypoints.valid)))
+        n2 = int(np.asarray(jnp.sum(r2.keypoints.valid)))
+        nm = int(np.asarray(jnp.sum(m.valid)))
+        results[name] = dict(n1=n1, n2=n2, matches=nm)
+        print(
+            f"{name}: compile+first {time.time()-t0:.1f}s  "
+            f"feats {n1}/{n2}  matches {nm} "
+            f"({100.0*nm/max(n1,1):.1f}%)  [ref: {ref_matches} matches, "
+            f"{ref_ms} ms]",
+            flush=True,
+        )
+
+    rtt = measure_rtt()
+    print(f"rtt {rtt:.1f} ms", flush=True)
+
+    # Amortized extract+match pipeline time, interleaved across variants.
+    best = {k: float("inf") for k in variants}
+    N = 6
+    for rep in range(3):
+        for name, (cfg, _, _) in variants.items():
+            def run():
+                a = frontend.extract_sift(img1, cfg)
+                b = frontend.extract_sift(img2, cfg)
+                return match_mod.match(
+                    a.descriptors, b.descriptors,
+                    a.keypoints.valid, b.keypoints.valid, mcfg,
+                )
+            t0 = time.time()
+            outs = [run().score for _ in range(N)]
+            _ = float(sum(jnp.sum(o[:1]) for o in outs))
+            best[name] = min(
+                best[name], max(0.0, (time.time() - t0) * 1000 - rtt) / N
+            )
+            print(f"  rep {rep} {name}: {best[name]:.2f} ms", flush=True)
+
+    print("--- summary: extract x2 + match, amortized ---", flush=True)
+    for name, (cfg, ref_matches, ref_ms) in variants.items():
+        r = results[name]
+        print(
+            f"{name}: {best[name]:.2f} ms  feats {r['n1']}/{r['n2']} "
+            f"matches {r['matches']}  (reference: {ref_matches} @ "
+            f"{ref_ms} ms extract-only-per-image class)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Cap-aware quality recovery sweep (VERDICT r2 item 3).
+
+The r2 speed push capped keypoint slots (SiftConfig.sample_cap=2048)
+and geometry slots (PipelineConfig.geometry_cap=2048), silently
+trading ~33% of reconstructed points (691 -> 459) for speed.  This
+sweeps the caps upward on the real device, measuring BOTH time and
+quality interleaved, to find the config that restores >= 650 valid
+points at <= 12 ms/pair.
+
+Usage: python tools/exp_quality.py [--seeds 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--n", type=int, default=10)
+    ap.add_argument("--only", default=None, help="comma list of variants")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from sfm_tpu.config import SiftConfig, PipelineConfig, RansacConfig
+    from sfm_tpu.io.image_io import load_gray
+    from sfm_tpu.models import two_view
+
+    img1 = jnp.asarray(load_gray("/root/reference/data/dino/viff.000.ppm"))
+    img2 = jnp.asarray(load_gray("/root/reference/data/dino/viff.001.ppm"))
+    h, w = img1.shape
+    K = jnp.asarray(
+        np.array([[2360.0, 0, w / 2], [0, 2360.0, h / 2], [0, 0, 1]],
+                 np.float32)
+    )
+    base = PipelineConfig(
+        sift=SiftConfig(max_pts_per_octave=1024),
+        ransac=RansacConfig(n_hyps=1024, threshold=3e-6, chunk=256),
+    )
+
+    def var(sample_cap=None, geometry_cap=None, n_hyps=None):
+        cfg = base
+        if sample_cap is not None:
+            cfg = dataclasses.replace(
+                cfg, sift=dataclasses.replace(cfg.sift, sample_cap=sample_cap)
+            )
+        if geometry_cap is not None:
+            cfg = dataclasses.replace(cfg, geometry_cap=geometry_cap)
+        if n_hyps is not None:
+            cfg = dataclasses.replace(
+                cfg, ransac=dataclasses.replace(cfg.ransac, n_hyps=n_hyps)
+            )
+        return cfg
+
+    cfgs = {
+        "base2048": base,
+        "cap2560": var(sample_cap=2560, geometry_cap=2560),
+        "cap3072": var(sample_cap=3072, geometry_cap=3072),
+        "cap0": var(sample_cap=0, geometry_cap=0),
+        "cap3072_h2048": var(sample_cap=3072, geometry_cap=3072, n_hyps=2048),
+    }
+    if args.only:
+        names = args.only.split(",")
+        cfgs = {k: v for k, v in cfgs.items() if k in names}
+
+    keys = [jax.random.PRNGKey(i) for i in range(16)]
+
+    from sfm_tpu.utils.timing import measure_rtt
+
+    # Compile + quality over seeds.
+    for name, cfg in cfgs.items():
+        t0 = time.time()
+        mats, inls, vals, pxs = [], [], [], []
+        for s in range(args.seeds):
+            r = two_view.two_view_pipeline(img1, img2, K, keys[s], cfg)
+            mats.append(int(r.num_matches))
+            inls.append(int(r.num_inliers))
+            vals.append(int(r.point_valid.sum()))
+            pxs.append(math.sqrt(float(r.reproj_err) / 2) * 2360.0)
+        print(
+            f"{name}: compile+quality {time.time()-t0:.1f}s  "
+            f"matches={mats} inliers={inls} valid={vals} "
+            f"px=[{', '.join(f'{p:.3f}' for p in pxs)}]",
+            flush=True,
+        )
+
+    rtt = measure_rtt()
+    print(f"rtt {rtt:.1f} ms", flush=True)
+
+    best = {k: float("inf") for k in cfgs}
+    for rep in range(args.reps):
+        for name, cfg in cfgs.items():
+            t0 = time.time()
+            outs = [
+                two_view.two_view_pipeline(
+                    img1, img2, K, keys[i % 16], cfg
+                ).reproj_err
+                for i in range(args.n)
+            ]
+            _ = float(sum(outs))
+            best[name] = min(
+                best[name],
+                max(0.0, (time.time() - t0) * 1000 - rtt) / args.n,
+            )
+            print(f"  rep {rep} {name}: {best[name]:.2f} ms", flush=True)
+    print("--- summary (best amortized ms/pair) ---", flush=True)
+    for name, ms in best.items():
+        print(f"{name}: {ms:.2f} ms/pair", flush=True)
+
+
+if __name__ == "__main__":
+    main()
