@@ -102,3 +102,10 @@ class PipelineConfig:
     # of two sequential extract_sift calls.  A/B-tested on the TPU
     # bench before flipping the default.
     pair_frontend: bool = False
+    # Correspondence subset for the FIRST cheirality vote (the one that
+    # merely picks a branch + seeds refinement; the final vote and
+    # triangulation always use every point).  Branch-picking is a 4-way
+    # majority over inlier-weighted depths — a few hundred compacted
+    # (valid-first) slots decide it identically while skipping ~75% of
+    # the first recover_pose's 4xN DLT solves.  0 = all points.
+    vote_cap: int = 0

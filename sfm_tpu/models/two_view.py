@@ -71,7 +71,13 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
         n_hyps=rc.n_hyps, threshold=rc.threshold, chunk=rc.chunk,
         sweeps=rc.sweeps, refit_iters=rc.refit_iters,
     )
-    p = pose.recover_pose(res.E, x1, x2, weights=res.inliers.astype(x1.dtype))
+    # First vote only picks a candidate branch + seeds refinement; a
+    # compacted-slot subset decides it identically (cfg.vote_cap).
+    vc = cfg.vote_cap if (cfg.vote_cap and cfg.vote_cap < x1.shape[0]) else None
+    p = pose.recover_pose(
+        res.E, x1[:vc], x2[:vc],
+        weights=res.inliers[:vc].astype(x1.dtype),
+    )
     ref = refine.refine_relative_pose(
         p["R"], p["t"], x1, x2, weights=res.inliers, iters=cfg.refine_iters,
     )

@@ -27,6 +27,72 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -2.0  # correlations of unit vectors live in [-1, 1]
 
 
+def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int):
+    """Per-LANE running top-2: the accumulator keeps (best, second,
+    idx) PER LANE-COLUMN ([BM, 128] each), so each 128-wide group of a
+    score tile merges with ~5 elementwise passes instead of the ~9
+    cross-lane reduction passes of the tile-top-2 kernel — the kernel
+    is VPU-bound (NOTES_R2 speed-of-light accounting), so pass count is
+    the cost.  One exact cross-lane top-2 merge happens at the last N2
+    block: the global second-best is either the second of the lane
+    holding the global best or the best of the runner-up lane, both of
+    which the per-lane accumulator preserves.
+    """
+    g = bn // 128
+
+    def kernel(d1_ref, d2_ref, v2_ref, out_ref, b_ref, s_ref, i_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            b_ref[:, :] = jnp.full_like(b_ref, _NEG)
+            s_ref[:, :] = jnp.full_like(s_ref, _NEG)
+            i_ref[:, :] = jnp.zeros_like(i_ref)
+
+        scores = jax.lax.dot_general(
+            d1_ref[:, :], d2_ref[:, :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BM, BN]
+        scores = scores + (v2_ref[:, :] - 1.0) * 1e3
+
+        lane = jax.lax.broadcasted_iota(jnp.float32, (bm, 128), 1)
+        for gi in range(g):
+            s = scores[:, gi * 128:(gi + 1) * 128]
+            col = lane + (j * bn + gi * 128).astype(jnp.float32)
+            b = b_ref[:, :]
+            take = s > b
+            s_ref[:, :] = jnp.maximum(s_ref[:, :], jnp.where(take, b, s))
+            b_ref[:, :] = jnp.where(take, s, b)
+            i_ref[:, :] = jnp.where(take, col, i_ref[:, :])
+
+        @pl.when(j == n2_blocks - 1)
+        def _():
+            b = b_ref[:, :]
+            ilane = jax.lax.broadcasted_iota(jnp.int32, (bm, 128), 1)
+            gb = jnp.max(b, axis=1, keepdims=True)
+            garg = jnp.min(
+                jnp.where(b == gb, ilane, np.int32(2 ** 30)),
+                axis=1, keepdims=True,
+            )
+            at_arg = ilane == garg
+            runner = jnp.max(jnp.where(at_arg, _NEG, b), axis=1,
+                             keepdims=True)
+            sec_at = jnp.max(jnp.where(at_arg, s_ref[:, :], _NEG), axis=1,
+                             keepdims=True)
+            gsec = jnp.maximum(runner, sec_at)
+            gidx = jnp.max(jnp.where(at_arg, i_ref[:, :], -1.0), axis=1,
+                           keepdims=True)
+            olane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+            out_ref[:, :] = (
+                jnp.where(olane == 0, gb, 0.0)
+                + jnp.where(olane == 1, gsec, 0.0)
+                + jnp.where(olane == 2, gidx, 0.0)
+            )
+
+    return kernel
+
+
 def _make_kernel(bm: int, bn: int, n2_blocks: int):
     def kernel(d1_ref, d2_ref, v2_ref, out_ref, acc_ref):
         j = pl.program_id(1)
@@ -85,16 +151,22 @@ def _make_kernel(bm: int, bn: int, n2_blocks: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bn", "bf16", "interpret")
+    jax.jit, static_argnames=("bm", "bn", "bf16", "interpret", "variant")
 )
 def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int = 256,
                       bn: int = 512, bf16: bool = True,
-                      interpret: bool = False):
+                      interpret: bool = False, variant: str = "tile"):
     """Running top-2 correlation of [N1,128] vs [N2,128] (Pallas).
 
     Returns (best [N1] f32, second [N1] f32, index [N1] i32) — the
     same contract as sift.match.match_descriptors_top2.  N1/N2 are
     padded to the block sizes internally.
+
+    variant="tile": per-tile exact top-2 folded into a [BM, 8]
+    accumulator.  variant="lanes": per-lane-column running top-2 with
+    one final cross-lane merge (fewer VPU passes; same results up to
+    tie-breaking — "tile" keeps the lowest column index on EXACTLY
+    equal scores, "lanes" the lowest lane).
     """
     n1, d = desc1.shape
     n2 = desc2.shape[0]
@@ -113,8 +185,14 @@ def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int = 256,
     v2row = valid2.astype(jnp.float32)[None, :]  # [1, N2]
     n2_blocks = n2p // bn
 
+    if variant == "lanes":
+        kernel = _make_kernel_lanes(bm, bn, n2_blocks)
+        scratch = [pltpu.VMEM((bm, 128), jnp.float32) for _ in range(3)]
+    else:
+        kernel = _make_kernel(bm, bn, n2_blocks)
+        scratch = [pltpu.VMEM((bm, 8), jnp.float32)]
     out = pl.pallas_call(
-        _make_kernel(bm, bn, n2_blocks),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((n1p, 8), jnp.float32),
         grid=(n1p // bm, n2_blocks),
         in_specs=[
@@ -127,7 +205,7 @@ def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int = 256,
         ],
         out_specs=pl.BlockSpec((bm, 8), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((bm, 8), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(d1, d2, v2row)
     out = out[:n1]

@@ -52,6 +52,19 @@ def main():
          lambda a, b: match_top2_pallas(a, b, bm=512, bn=1024), jnp.float32),
         ("pallas-bm128", lambda a, b: match_top2_pallas(a, b, bm=128),
          jnp.float32),
+        # Per-lane running-top-2 accumulator (fewer VPU passes; see
+        # ops/pallas_match.py _make_kernel_lanes).
+        ("lanes-256x512",
+         lambda a, b: match_top2_pallas(a, b, variant="lanes"), jnp.float32),
+        ("lanes-256x1024",
+         lambda a, b: match_top2_pallas(a, b, bn=1024, variant="lanes"),
+         jnp.float32),
+        ("lanes-512x1024",
+         lambda a, b: match_top2_pallas(a, b, bm=512, bn=1024,
+                                        variant="lanes"), jnp.float32),
+        ("lanes-512x2048",
+         lambda a, b: match_top2_pallas(a, b, bm=512, bn=2048,
+                                        variant="lanes"), jnp.float32),
     ]
     # Warm up / compile each variant, record correctness.
     runnable = []

@@ -87,6 +87,16 @@ def main():
             base_cfg,
             ransac=dataclasses.replace(rc, chunk=1024, refit_iters=1),
             refine_iters=6)))
+    if want("votecap"):
+        # Subset first-branch-vote: skips 75% of the first recover_pose
+        # DLT solves; final vote/triangulation unchanged.
+        variants.append(("votecap512", dataclasses.replace(
+            base_cfg, vote_cap=512)))
+    if want("votecombo"):
+        variants.append(("votecombo[votecap512,chunk1024]",
+                         dataclasses.replace(
+                             base_cfg, vote_cap=512,
+                             ransac=dataclasses.replace(rc, chunk=1024))))
 
     def compile_and_quality(cfg, name):
         t0 = time.time()
