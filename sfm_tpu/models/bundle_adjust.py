@@ -334,15 +334,23 @@ def run_ba(
 ):
     """LM bundle adjustment; returns final BAState and per-iter costs.
 
-    solver: "dense" (exact [6M,6M] Schur solve — small M only),
-    "cg" (matrix-free preconditioned CG on the Schur complement —
-    scales to hundreds of cameras / 100k+ points), or "auto"
-    (dense for M <= 16).
+    solver: "dense" (exact [6M,6M] Schur solve; materializes the
+    grouped cross blocks Wg [P,M,6,3]), "cg" (matrix-free
+    preconditioned CG on the Schur complement — O(O) memory, scales to
+    any M*P and shards across a mesh), or "auto".
+
+    "auto" picks dense while Wg (+ its einsum twin) fits comfortably in
+    HBM: on the v5e chip the dense path measured 169.7 ms/LM-iter vs
+    CG's 487.6 at M=50/P=50k/O=400k (tools/bench_ba.py, r3) — one
+    MXU-shaped [P,M,6,3] einsum beats 32 scatter/gather-bound CG
+    matvecs — while M=200/P=100k (Wg 1.4 GB + broadcast copies)
+    overflows compile-time allocation, so the cutoff keeps Wg <= ~576
+    MB with ~3x headroom.
     """
     n_cams = R.shape[0]
     n_pts = X.shape[0]
     if solver == "auto":
-        solver = "dense" if n_cams <= 16 else "cg"
+        solver = "dense" if n_cams * n_pts <= 8_000_000 else "cg"
     c0 = robust_cost(R, t, X, problem, huber_delta)
 
     def step(state: BAState, _):

@@ -19,7 +19,11 @@ import numpy as np
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--cpu"]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    solver = "cg"
+    for a in sys.argv[1:]:
+        if a.startswith("--solver="):
+            solver = a.split("=", 1)[1]
     if "--cpu" in sys.argv:
         import jax
 
@@ -81,7 +85,7 @@ def main():
     t_c = time.time()
     st, costs = ba.run_ba(
         jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(X0), prob,
-        iters=iters, solver="cg", cg_iters=cg_iters,
+        iters=iters, solver=solver, cg_iters=cg_iters,
     )
     c_final = float(costs[-1])
     print(f"compile+first: {time.time()-t_c:.1f}s", flush=True)
@@ -95,7 +99,7 @@ def main():
         tt = time.time()
         st, costs = ba.run_ba(
             jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(X0), prob,
-            iters=iters, solver="cg", cg_iters=cg_iters,
+            iters=iters, solver=solver, cg_iters=cg_iters,
         )
         _ = float(costs[-1])
         best = min(best, max(0.0, (time.time() - tt) * 1000.0 - rtt))
