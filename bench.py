@@ -82,20 +82,28 @@ def main():
     jax.block_until_ready(res)
     _ = float(res.reproj_err)  # true sync (relay round trip)
     log(f"compile+first run: {time.time()-t0:.1f} s")
-    n_matches = int(res.num_matches)
-    n_inliers = int(res.num_inliers)
-    n_valid = int(res.point_valid.sum())
-    reproj_px = math.sqrt(float(res.reproj_err) / 2) * 2360.0
-    log(
-        f"matches={n_matches} inliers={n_inliers} "
-        f"valid_points={n_valid} reproj_px={reproj_px:.3f}"
+    # Quality over several RANSAC seeds (the draw moves the valid-point
+    # count by ~20%; a single seed is noise-hostage), reported as the
+    # median.  Floors sit under the r3 measured config (median 1190 /
+    # ~850 / ~760 at cap 2560 + refine_rounds 2) so regressions are
+    # loud (r2 lost 33% of valid points to slot caps unnoticed —
+    # VERDICT r2 weak item 1).
+    qs = []
+    for s in range(4):
+        r = run(s)
+        qs.append((int(r.num_matches), int(r.num_inliers),
+                   int(r.point_valid.sum()),
+                   math.sqrt(float(r.reproj_err) / 2) * 2360.0))
+    n_matches, n_inliers, n_valid, reproj_px = (
+        float(np.median([q[i] for q in qs])) for i in range(4)
     )
-    # Quality floors: speed work must not silently erode reconstruction
-    # recall (r2 lost 33% of valid points to slot caps unnoticed —
-    # VERDICT r2 weak item 1).  Floors sit ~10% under the r3 measured
-    # config so regressions are loud.
-    floors = {"matches": (n_matches, 1000), "inliers": (n_inliers, 650),
-              "valid_points": (n_valid, 600)}
+    log("per-seed (matches, inliers, valid, px): " + repr(qs))
+    log(
+        f"median: matches={n_matches:.0f} inliers={n_inliers:.0f} "
+        f"valid_points={n_valid:.0f} reproj_px={reproj_px:.3f}"
+    )
+    floors = {"matches": (n_matches, 1100), "inliers": (n_inliers, 700),
+              "valid_points": (n_valid, 650)}
     for name, (got, floor) in floors.items():
         if got < floor:
             log(f"WARNING: {name}={got} BELOW FLOOR {floor} — "

@@ -30,8 +30,11 @@ class SiftConfig:
     # Slot cap for the sampling stage (orientation/descriptor kernels
     # and the descriptor matmuls downstream all scale with SLOTS): the
     # per-octave top-k capacities sum to num_octaves*max_pts_per_octave
-    # but real images fill a fraction.  0 = no cap.
-    sample_cap: int = 2048
+    # but real images fill a fraction.  0 = no cap.  2048 (the r2
+    # value) silently cost ~20% of the dino pair's matches; 2560 keeps
+    # the full match set at +1.0 ms/pair (r3 device sweep,
+    # tools/exp_quality.py).
+    sample_cap: int = 2560
     # Pyramid blur as banded matmuls instead of grouped convs: the conv
     # path is overhead-bound on TPU (~9 ms/image for ~120 MFLOP); the
     # matmul path rides the MXU.  None = auto (matmul on TPU).
@@ -89,13 +92,22 @@ class PipelineConfig:
     match: MatchConfig = MatchConfig()
     ransac: RansacConfig = RansacConfig()
     refine_iters: int = 10       # on-manifold pose refinement (beyond reference)
+    # Refine <-> re-vote <-> re-score rounds.  The Sampson polish and
+    # the cheirality vote interact: near the bas-relief ridge a single
+    # round can land on a pose where many epipolar inliers fail the
+    # depth test (r3: 33-55% of inliers on some seeds).  Each round
+    # re-weights the refinement by the CHEIRALITY-CONSISTENT inliers of
+    # the previous one, and the final result is the best round by
+    # valid-point count (branchless select; round 1 reproduces the
+    # single-round behavior, so extra rounds can only gain).
+    refine_rounds: int = 2
     # Compact correspondences to this many slots before the geometry
     # program (valid entries first).  The keypoint capacity is
     # num_octaves * 2 * max_pts_per_octave slots (10240 in the bench
     # config) while a real pair yields ~1.2k matches, so RANSAC
     # scoring / triangulation over raw slots wastes ~8x of their
     # bandwidth.  0 disables (geometry runs at full capacity).
-    geometry_cap: int = 2048
+    geometry_cap: int = 2560
     # Pair-batched frontend: run the dense detect stage as ONE batched
     # program over both images and the sampling stage as ONE fused
     # kernel over both slot sets (frontend.extract_sift_pair) instead

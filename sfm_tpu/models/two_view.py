@@ -71,6 +71,8 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
         n_hyps=rc.n_hyps, threshold=rc.threshold, chunk=rc.chunk,
         sweeps=rc.sweeps, refit_iters=rc.refit_iters,
     )
+    from sfm_tpu.geometry import epipolar
+
     # First vote only picks a candidate branch + seeds refinement; a
     # compacted-slot subset decides it identically (cfg.vote_cap).
     vc = cfg.vote_cap if (cfg.vote_cap and cfg.vote_cap < x1.shape[0]) else None
@@ -78,37 +80,53 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
         res.E, x1[:vc], x2[:vc],
         weights=res.inliers[:vc].astype(x1.dtype),
     )
-    ref = refine.refine_relative_pose(
-        p["R"], p["t"], x1, x2, weights=res.inliers, iters=cfg.refine_iters,
-    )
-    # The Sampson objective is invariant to the 4-fold (R, t) ambiguity
-    # of E, so re-run the cheirality vote on the REFINED essential
+    # Refine <-> re-vote <-> re-score rounds with a branchless best-of
+    # selection (see PipelineConfig.refine_rounds).  The Sampson
+    # objective is invariant to the 4-fold (R, t) ambiguity of E, so
+    # each round re-runs the cheirality vote on the REFINED essential
     # matrix (refinement can move the pose far once the degenerate
     # static-match attractor is filtered out, so branch-nearest
-    # selection is NOT safe — the vote is).
-    p2 = pose.recover_pose(ref.E, x1, x2, weights=res.inliers.astype(x1.dtype))
-    R_fin = p2["R"]
-    t_fin = p2["t"]
-    ref = ref._replace(R=R_fin, t=t_fin)
-    # recover_pose already triangulated every correspondence against
-    # the winning candidate (it votes over ALL points) — reuse that
-    # instead of a second identical DLT solve.
-    X = p2["points"]
-    finite = p2["finite"]
-    cheir = p2["front"]
-    # Re-score inliers under the refined model.
-    from sfm_tpu.geometry import epipolar
+    # selection is NOT safe — the vote is).  recover_pose triangulates
+    # every correspondence against the winning candidate, so the
+    # winning round's points come for free.
+    R_cur, t_cur = p["R"], p["t"]
+    w = res.inliers
+    E_n = res.E * (jnp.sqrt(2.0) / jnp.linalg.norm(res.E))
+    best = None
+    for _round in range(max(cfg.refine_rounds, 1)):
+        ref = refine.refine_relative_pose(
+            R_cur, t_cur, x1, x2, weights=w, iters=cfg.refine_iters,
+        )
+        p2 = pose.recover_pose(
+            ref.E, x1, x2, weights=res.inliers.astype(x1.dtype)
+        )
+        E_n = ref.E * (jnp.sqrt(2.0) / jnp.linalg.norm(ref.E))
+        r = epipolar.epipolar_residuals(E_n, x1, x2)
+        inl = (r < rc.threshold) & mask
+        pt_valid = inl & p2["front"] & p2["finite"]
+        score = jnp.sum(pt_valid).astype(jnp.int32)
+        cand = (score, p2["R"], p2["t"], ref.E, p2["points"],
+                pt_valid, inl)
+        if best is None:
+            best = cand
+        else:
+            take = score > best[0]
+            best = tuple(
+                jnp.where(take, c, b) for c, b in zip(cand, best)
+            )
+        R_cur, t_cur = p2["R"], p2["t"]
+        # Cheirality-consistent inliers drive the next refinement: on
+        # the bas-relief ridge the plain epipolar inliers can pull the
+        # polish toward a pose that puts a third of them behind a
+        # camera (r3 seed study, NOTES_R3).
+        w = inl & p2["front"]
 
-    r = epipolar.epipolar_residuals(
-        ref.E * (jnp.sqrt(2.0) / jnp.linalg.norm(ref.E)), x1, x2
-    )
-    inl = (r < rc.threshold) & mask
-    pt_valid = inl & cheir & finite
-    errs = tri.reprojection_errors(X, x1, x2, ref.R, ref.t)
+    _, R_fin, t_fin, E_fin, X, pt_valid, inl = best
+    errs = tri.reprojection_errors(X, x1, x2, R_fin, t_fin)
     denom = jnp.maximum(jnp.sum(pt_valid), 1)
     mean_err = jnp.sum(jnp.where(pt_valid, errs, 0.0)) / denom
     return TwoViewResult(
-        R=ref.R, t=ref.t, E=ref.E,
+        R=R_fin, t=t_fin, E=E_fin,
         points=X, point_valid=pt_valid,
         uv1=uv1, uv2=uv2,
         inliers=inl,
