@@ -77,6 +77,34 @@ def depths(X, R, t):
     return jnp.einsum("...ij,...nj->...ni", R, X)[..., 2] + t[..., None, 2]
 
 
+def midpoint_depths(x1, x2, R, t):
+    """Closed-form two-ray depths (z1, z2) for cheirality tests.
+
+    Rays z1*x1 (camera 1) and C2 + z2*(R^T x2) (camera 2, center
+    C2 = -R^T t) generally don't intersect; the least-squares depths
+    along each ray solve the 2x2 system of the connecting segment.
+    ~10 elementwise ops per point — the cheap stand-in for the full
+    per-candidate DLT when only the SIGNS are needed (refine-round
+    cheirality weights, two_view_geometry).  Degenerate (parallel)
+    rays return ~0 depths, which fail the z>0 test — safe.
+
+    Args: x1, x2 [N, 3] normalized homogeneous; (R, t) camera 2.
+    Returns (z1 [N], z2 [N]).
+    """
+    b = jnp.einsum("ji,nj->ni", R, x2)        # R^T x2: ray dirs in cam 1
+    C2 = -jnp.einsum("ji,j->i", R, t)
+    aa = jnp.sum(x1 * x1, -1)
+    bb = jnp.sum(b * b, -1)
+    ab = jnp.sum(x1 * b, -1)
+    ac = jnp.sum(x1 * C2, -1)
+    bc = jnp.sum(b * C2, -1)
+    det = aa * bb - ab * ab
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    z1 = (bb * ac - ab * bc) / det
+    z2 = (ab * ac - aa * bc) / det
+    return z1, z2
+
+
 def reprojection_errors(X, x1, x2, R, t):
     """Squared reprojection error in both normalized image planes.
 

@@ -91,22 +91,27 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
     # winning round's points come for free.
     R_cur, t_cur = p["R"], p["t"]
     w = res.inliers
-    E_n = res.E * (jnp.sqrt(2.0) / jnp.linalg.norm(res.E))
     best = None
     for _round in range(max(cfg.refine_rounds, 1)):
         ref = refine.refine_relative_pose(
             R_cur, t_cur, x1, x2, weights=w, iters=cfg.refine_iters,
         )
+        # Branch vote on the subset; full-set cheirality for the round
+        # score and the next round's weights comes from the closed-form
+        # two-ray midpoint depths (~10 ops/point) instead of the 4x N
+        # DLT solves of a full recover_pose — only the WINNING round
+        # pays for the full triangulation (below).
         p2 = pose.recover_pose(
-            ref.E, x1, x2, weights=res.inliers.astype(x1.dtype)
+            ref.E, x1[:vc], x2[:vc],
+            weights=res.inliers[:vc].astype(x1.dtype),
         )
         E_n = ref.E * (jnp.sqrt(2.0) / jnp.linalg.norm(ref.E))
         r = epipolar.epipolar_residuals(E_n, x1, x2)
         inl = (r < rc.threshold) & mask
-        pt_valid = inl & p2["front"] & p2["finite"]
-        score = jnp.sum(pt_valid).astype(jnp.int32)
-        cand = (score, p2["R"], p2["t"], ref.E, p2["points"],
-                pt_valid, inl)
+        z1, z2 = tri.midpoint_depths(x1, x2, p2["R"], p2["t"])
+        valid_k = inl & (z1 > 0) & (z2 > 0)
+        score = jnp.sum(valid_k).astype(jnp.int32)
+        cand = (score, ref.E, inl)
         if best is None:
             best = cand
         else:
@@ -119,9 +124,16 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
         # the bas-relief ridge the plain epipolar inliers can pull the
         # polish toward a pose that puts a third of them behind a
         # camera (r3 seed study, NOTES_R3).
-        w = inl & p2["front"]
+        w = valid_k
 
-    _, R_fin, t_fin, E_fin, X, pt_valid, inl = best
+    _, E_fin, inl = best
+    # Full recover_pose on the winner: final branch vote over every
+    # point + the output triangulation (reference linear_triangulation,
+    # SfM/sfm.cu:309-344).
+    pf = pose.recover_pose(E_fin, x1, x2, weights=inl.astype(x1.dtype))
+    R_fin, t_fin = pf["R"], pf["t"]
+    X = pf["points"]
+    pt_valid = inl & pf["front"] & pf["finite"]
     errs = tri.reprojection_errors(X, x1, x2, R_fin, t_fin)
     denom = jnp.maximum(jnp.sum(pt_valid), 1)
     mean_err = jnp.sum(jnp.where(pt_valid, errs, 0.0)) / denom
