@@ -461,13 +461,30 @@ def run_incremental(
             x_norm[ci], x_norm[cj], m.index, mok, closure_gate, cfg,
         )
 
+    _part = {}  # partition layout cache across the two global-BA rounds
+
     def _global_ba(R, t, X, problem, iters):
         if mesh is None:
             final, costs = ba.run_ba(R, t, X, problem, iters=iters)
             return final.R, final.t, final.X, costs
         from sfm_tpu.parallel import dist_ba
 
-        X_sh, prob_sh = dist_ba.partition_problem(problem, X, mesh.size)
+        if not _part:
+            # O(D*O) host partition: run it ONCE — the second round only
+            # shrinks the mask (subset of round 1's), so the layout can
+            # be reused via obs_idx (VERDICT r2 weak item 6).
+            X_sh, prob_sh, obs_idx = dist_ba.partition_problem(
+                problem, X, mesh.size, return_layout=True
+            )
+            _part["prob"] = prob_sh
+            _part["obs_idx"] = obs_idx
+        else:
+            obs_idx = _part["obs_idx"]
+            mask_sh = jnp.where(
+                obs_idx >= 0, problem.mask[jnp.maximum(obs_idx, 0)], False
+            )
+            prob_sh = _part["prob"]._replace(mask=mask_sh)
+            X_sh = dist_ba.partition_points(X, mesh.size)
         R_f, t_f, X_sh_f, costs = dist_ba.run_dist_ba(
             R, t, X_sh, prob_sh, mesh, iters=iters
         )

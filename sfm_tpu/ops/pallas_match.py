@@ -56,15 +56,18 @@ def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int):
         )  # [BM, BN]
         scores = scores + (v2_ref[:, :] - 1.0) * 1e3
 
-        lane = jax.lax.broadcasted_iota(jnp.float32, (bm, 128), 1)
         for gi in range(g):
             s = scores[:, gi * 128:(gi + 1) * 128]
-            col = lane + (j * bn + gi * 128).astype(jnp.float32)
+            # The lane is implicit in the accumulator position, so only
+            # the 128-wide BLOCK id is stored (one fewer VPU pass than
+            # adding a lane iota per group); the final merge
+            # reconstructs col = block*128 + lane.
+            blk = (j * g + gi).astype(jnp.float32)
             b = b_ref[:, :]
             take = s > b
             s_ref[:, :] = jnp.maximum(s_ref[:, :], jnp.where(take, b, s))
             b_ref[:, :] = jnp.where(take, s, b)
-            i_ref[:, :] = jnp.where(take, col, i_ref[:, :])
+            i_ref[:, :] = jnp.where(take, blk, i_ref[:, :])
 
         @pl.when(j == n2_blocks - 1)
         def _():
@@ -81,8 +84,9 @@ def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int):
             sec_at = jnp.max(jnp.where(at_arg, s_ref[:, :], _NEG), axis=1,
                              keepdims=True)
             gsec = jnp.maximum(runner, sec_at)
-            gidx = jnp.max(jnp.where(at_arg, i_ref[:, :], -1.0), axis=1,
+            gblk = jnp.max(jnp.where(at_arg, i_ref[:, :], -1.0), axis=1,
                            keepdims=True)
+            gidx = gblk * 128.0 + garg.astype(jnp.float32)
             olane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
             out_ref[:, :] = (
                 jnp.where(olane == 0, gb, 0.0)
@@ -155,18 +159,20 @@ def _make_kernel(bm: int, bn: int, n2_blocks: int):
 )
 def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int = 256,
                       bn: int = 512, bf16: bool = True,
-                      interpret: bool = False, variant: str = "tile"):
+                      interpret: bool = False, variant: str = "lanes"):
     """Running top-2 correlation of [N1,128] vs [N2,128] (Pallas).
 
     Returns (best [N1] f32, second [N1] f32, index [N1] i32) — the
     same contract as sift.match.match_descriptors_top2.  N1/N2 are
     padded to the block sizes internally.
 
-    variant="tile": per-tile exact top-2 folded into a [BM, 8]
-    accumulator.  variant="lanes": per-lane-column running top-2 with
-    one final cross-lane merge (fewer VPU passes; same results up to
-    tie-breaking — "tile" keeps the lowest column index on EXACTLY
-    equal scores, "lanes" the lowest lane).
+    variant="lanes" (default): per-lane-column running top-2 with one
+    final cross-lane merge — fewer VPU passes; 16K x 16K measured
+    3.66 ms vs 4.47 for "tile" (r3, tools/bench_match.py; reference
+    kernel 10.53 ms).  variant="tile": per-tile exact top-2 folded
+    into a [BM, 8] accumulator.  Same results up to tie-breaking —
+    "tile" keeps the lowest column index on EXACTLY equal scores,
+    "lanes" the lowest lane.
     """
     n1, d = desc1.shape
     n2 = desc2.shape[0]

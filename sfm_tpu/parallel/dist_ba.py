@@ -37,12 +37,19 @@ from sfm_tpu.geometry import lie
 from sfm_tpu.parallel.mesh import DATA_AXIS
 
 
-def partition_problem(problem: BAProblem, X, n_shards: int):
+def partition_problem(problem: BAProblem, X, n_shards: int,
+                      return_layout: bool = False):
     """Host-side partitioning of points (and their observations) into
     n_shards contiguous blocks, padding both to equal sizes.
 
-    Returns (X_sh [D, Ps, 3], problems_sh: BAProblem with [D, Os]
-    leading dims and LOCAL point indices, pt_offsets [D]).
+    Returns (X_sh [D*Ps, 3] flattened sharded points, prob_sh:
+    BAProblem with [D*Os] observation arrays and LOCAL point indices).
+    With return_layout=True also returns obs_idx [D*Os] — the ORIGINAL
+    observation index per slot (-1 = padding) — so a caller that only
+    changed the MASK (e.g. outlier pruning between global-BA rounds)
+    can rebuild prob_sh with `mask[obs_idx]` instead of re-running this
+    O(D*O) host partition (the layout is mask-independent as long as
+    the new mask is a subset of the one partitioned with).
     """
     cam_idx = np.asarray(problem.cam_idx)
     pt_idx = np.asarray(problem.pt_idx)
@@ -63,6 +70,7 @@ def partition_problem(problem: BAProblem, X, n_shards: int):
     pt_s = np.zeros((n_shards, os_max), np.int32)
     uv_s = np.zeros((n_shards, os_max, 2), np.float32)
     m_s = np.zeros((n_shards, os_max), bool)
+    oi_s = np.full((n_shards, os_max), -1, np.int32)
     X_s = np.zeros((n_shards, ps, 3), np.float32)
     for d, sel in enumerate(shards):
         n = os_counts[d]
@@ -71,6 +79,7 @@ def partition_problem(problem: BAProblem, X, n_shards: int):
         pt_s[d, :n] = pt_idx[idx] - d * ps  # local point index
         uv_s[d, :n] = uv[idx]
         m_s[d, :n] = True
+        oi_s[d, :n] = idx
         lo, hi = d * ps, min((d + 1) * ps, n_pts)
         X_s[d, : hi - lo] = X[lo:hi]
     # Flatten to sharded-leading-dim layout: shard_map splits the first
@@ -82,7 +91,20 @@ def partition_problem(problem: BAProblem, X, n_shards: int):
         mask=jnp.asarray(m_s.reshape(-1)),
         fixed=problem.fixed,
     )
+    if return_layout:
+        return jnp.asarray(X_s.reshape(-1, 3)), prob_s, jnp.asarray(
+            oi_s.reshape(-1)
+        )
     return jnp.asarray(X_s.reshape(-1, 3)), prob_s
+
+
+def partition_points(X, n_shards: int):
+    """Re-slice updated point coordinates into partition_problem's
+    layout (contiguous blocks of ceil(P/D), tail-padded)."""
+    n_pts = X.shape[0]
+    ps = -(-n_pts // n_shards)
+    pad = n_shards * ps - n_pts
+    return jnp.pad(X, ((0, pad), (0, 0))) if pad else X
 
 
 def unpartition_points(X_sh, n_pts: int):
