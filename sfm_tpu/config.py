@@ -108,12 +108,6 @@ class PipelineConfig:
     # scoring / triangulation over raw slots wastes ~8x of their
     # bandwidth.  0 disables (geometry runs at full capacity).
     geometry_cap: int = 2560
-    # Pair-batched frontend: run the dense detect stage as ONE batched
-    # program over both images and the sampling stage as ONE fused
-    # kernel over both slot sets (frontend.extract_sift_pair) instead
-    # of two sequential extract_sift calls.  A/B-tested on the TPU
-    # bench before flipping the default.
-    pair_frontend: bool = False
     # Correspondence subset for the FIRST cheirality vote (the one that
     # merely picks a branch + seeds refinement; the final vote and
     # triangulation always use every point).  Branch-picking is a 4-way

@@ -175,15 +175,13 @@ def frontend_stage(img1, img2, cfg: PipelineConfig = PipelineConfig()):
     """SIFT x2 + match + correspondence gather (several pipelined
     dispatches; see sift.frontend.extract_sift for why the stages stay
     in separate XLA programs).  Sequential per-image extraction: the
-    vmapped batched variant measured ~15% SLOWER (70.7 vs 61.3 ms/pair
-    in r1 — batched convs/top_k lower worse on this backend).
-    cfg.pair_frontend selects the r2 pair-batched path (one batched
-    detect program + one fused sampling kernel for both images)."""
-    if cfg.pair_frontend:
-        s1, s2 = frontend.extract_sift_pair(img1, img2, cfg.sift)
-    else:
-        s1 = frontend.extract_sift(img1, cfg.sift)
-        s2 = frontend.extract_sift(img2, cfg.sift)
+    vmapped batched variant measured ~15% SLOWER in r1 (70.7 vs
+    61.3 ms/pair — batched convs/top_k lower worse on this backend),
+    and the r2 pair-batched extract_sift_pair path lost its device A/B
+    in r3 as well (12.51 vs 10.84 ms/pair) and was deleted — the
+    detect_atlas precedent."""
+    s1 = frontend.extract_sift(img1, cfg.sift)
+    s2 = frontend.extract_sift(img2, cfg.sift)
     return _match_stage(s1, s2, cfg)
 
 

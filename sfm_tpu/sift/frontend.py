@@ -157,136 +157,12 @@ def _detect_stage(img, cfg: SiftConfig, mats=()):
     return _detect_impl(img, cfg, mats)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _detect_stage_batch(imgs, cfg: SiftConfig, mats=()):
-    """Batched dense stage over [B, H, W] images (one program for a
-    whole image pair/batch — better VPU/MXU utilization than two
-    sequential programs)."""
-    return jax.vmap(lambda im: _detect_impl(im, cfg, mats))(imgs)
-
-
 def _mats_for(shape, cfg: SiftConfig):
     return (
         pyramid.pyramid_band_mats(tuple(shape), cfg)
         if pyramid.use_blur_matmul(cfg)
         else ()
     )
-
-
-def extract_sift_pair(img1, img2, cfg: SiftConfig = SiftConfig()):
-    """Extract SIFT for an image pair with pair-level batching.
-
-    The dense stage runs as ONE batched program over both images and
-    the sampling stage as ONE fused kernel over the concatenation of
-    both images' slot sets (the two atlases stacked vertically), so the
-    pair costs one launch sequence instead of two.  Returns
-    (SiftResult, SiftResult) identical in contract to two extract_sift
-    calls.
-    """
-    use_pallas = _use_pallas(cfg)
-    offsets, subs = atlas_layout(img1.shape, cfg)
-    imgs = jnp.stack([img1, img2])
-    atlas_b, dets_b = _detect_stage_batch(imgs, cfg, _mats_for(img1.shape, cfg))
-    r = _sample_stage_pair(atlas_b, offsets, subs, dets_b, cfg, use_pallas)
-    return r
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas", "offsets", "subs"))
-def _sample_stage_pair(atlas_b, offsets, subs, dets_b, cfg: SiftConfig,
-                       use_pallas: bool):
-    """Sampling stage over BOTH images' slots in one kernel launch.
-
-    The two per-image atlases are stacked vertically ([2*Ha, Wa]); the
-    second image's y/atlas-offsets shift by Ha.  Slots are capped and
-    strength-ordered PER IMAGE (blocks [0:S) and [S:2S)), sampled
-    together, and split back into two SiftResults.
-    """
-    Ha = atlas_b.shape[1]
-    atlas2 = jnp.concatenate([atlas_b[0], atlas_b[1]], axis=0)
-    results = []
-    slot_blocks = []
-    for b in range(2):
-        dets = jax.tree_util.tree_map(lambda a: a[b], dets_b)
-        x_a = jnp.concatenate([d.x for d in dets])
-        y_a = jnp.concatenate([d.y for d in dets]) + b * Ha
-        sc_a = jnp.concatenate([d.scale for d in dets])
-        sharp_a = jnp.concatenate([d.sharpness for d in dets])
-        edge_a = jnp.concatenate([d.edgeness for d in dets])
-        valid_a = jnp.concatenate([d.valid for d in dets])
-        oct_a = jnp.concatenate(
-            [jnp.full(d.x.shape, i, jnp.int32) for i, d in enumerate(dets)]
-        )
-        sub_a = jnp.concatenate(
-            [jnp.full(d.x.shape, s, jnp.float32) for d, s in zip(dets, subs)]
-        )
-        off_a = jnp.concatenate(
-            [jnp.full(d.x.shape, off + b * Ha, jnp.float32)
-             for d, off in zip(dets, offsets)]
-        )
-        cap = cfg.sample_cap
-        if cap and cap < valid_a.shape[0]:
-            strength = jnp.where(valid_a, jnp.abs(sharp_a), -1.0)
-            _, order = jax.lax.top_k(strength, cap)
-            order = order.astype(jnp.int32)
-        else:
-            order = compaction_order(valid_a)
-        slot_blocks.append(tuple(
-            a[order]
-            for a in (x_a, y_a, sc_a, sharp_a, edge_a, valid_a, oct_a,
-                      sub_a, off_a)
-        ))
-    cat = [jnp.concatenate([sb[i] for sb in slot_blocks])
-           for i in range(9)]
-    x_a, y_a, sc_a, sharp_a, edge_a, valid_a, oct_a, sub_a, off_a = cat
-    S = slot_blocks[0][0].shape[0]
-    # Count gating: block 0 is processed fully (its valid slots are
-    # front-compacted but block 1 starts at S regardless), block 1's
-    # tail past its own valid count is skipped.  Invalid slots compute
-    # masked garbage safely (coords clamp, outputs zero-filled).
-    count = S + jnp.sum(slot_blocks[1][5], dtype=jnp.int32)
-
-    if use_pallas:
-        from sfm_tpu.ops import pallas_sample
-
-        d1, d2, ori1, ori2, dup = pallas_sample.fused_orient_descriptor(
-            atlas2, x_a, y_a, sc_a, count=count,
-            interpret=jax.default_backend() == "cpu",
-        )
-    else:
-        h = _sample_orientations(atlas2, x_a, y_a, sc_a, valid_a, cfg, False)
-        ori1, ori2, dup = orient.orientations_from_histograms(
-            h, valid_a, duplicates=cfg.orientation_duplicates
-        )
-        # _sample_descriptors normalizes internally (non-pallas path);
-        # the pallas kernel returns RAW blocks normalized below.
-        d1 = _sample_descriptors(atlas2, x_a, y_a, sc_a, ori1, valid_a, False)
-        d2 = _sample_descriptors(atlas2, x_a, y_a, sc_a, ori2, dup & valid_a, False)
-    for b in range(2):
-        sl = slice(b * S, (b + 1) * S)
-        valid_b = valid_a[sl]
-        dup_b = dup[sl] & valid_b
-        if not cfg.orientation_duplicates:
-            dup_b = jnp.zeros_like(dup_b)
-        desc = jnp.concatenate([d1[sl], d2[sl]])
-        if use_pallas:
-            desc = describe.normalize_descriptors(desc)
-        valid_2 = jnp.concatenate([valid_b, dup_b])
-        desc = desc * valid_2[:, None]
-        two = lambda a: jnp.concatenate([a[sl], a[sl]])
-        kp = Keypoints(
-            x=two(x_a) * two(sub_a),
-            y=(two(y_a) - two(off_a)) * two(sub_a),
-            scale=two(sc_a) * two(sub_a),
-            sharpness=two(sharp_a),
-            edgeness=two(edge_a),
-            orientation=jnp.concatenate([ori1[sl], ori2[sl]]),
-            octave=two(oct_a),
-            valid=valid_2,
-        )
-        if cfg.up_scale:
-            kp = kp._replace(x=kp.x * 0.5, y=kp.y * 0.5, scale=kp.scale * 0.5)
-        results.append(SiftResult(keypoints=kp, descriptors=desc))
-    return tuple(results)
 
 
 def extract_sift(img, cfg: SiftConfig = SiftConfig()) -> SiftResult:

@@ -221,38 +221,6 @@ def test_blur_bank_matmul_matches_conv():
     assert np.abs(a - b).max() < 1e-3, np.abs(a - b).max()
 
 
-def test_extract_pair_matches_single():
-    # Pair-batched extraction (one dense program + one sampling launch
-    # for both images) must reproduce per-image extraction exactly.
-    import jax.numpy as jnp
-    from sfm_tpu.io.image_io import load_gray
-    from sfm_tpu.config import SiftConfig
-
-    img1 = jnp.asarray(
-        load_gray("/root/reference/data/dino/viff.000.ppm")[40:360, 100:612])
-    img2 = jnp.asarray(
-        load_gray("/root/reference/data/dino/viff.001.ppm")[40:360, 100:612])
-    for up in (False, True):
-        cfg = SiftConfig(num_octaves=3, max_pts_per_octave=256,
-                         sample_cap=512, use_pallas=up)
-        singles = [frontend.extract_sift(img1, cfg),
-                   frontend.extract_sift(img2, cfg)]
-        pairs = frontend.extract_sift_pair(img1, img2, cfg)
-        for a, p in zip(singles, pairs):
-            va, vp = np.array(a.keypoints.valid), np.array(p.keypoints.valid)
-            assert va.sum() == vp.sum()
-            ka = np.stack([np.array(a.keypoints.x)[va],
-                           np.array(a.keypoints.y)[va],
-                           np.array(a.keypoints.orientation)[va]], 1)
-            kb = np.stack([np.array(p.keypoints.x)[vp],
-                           np.array(p.keypoints.y)[vp],
-                           np.array(p.keypoints.orientation)[vp]], 1)
-            ia, ib = np.lexsort(ka.T), np.lexsort(kb.T)
-            assert np.allclose(ka[ia], kb[ib], atol=1e-3)
-            corr = (np.array(a.descriptors)[va][ia]
-                    * np.array(p.descriptors)[vp][ib]).sum(1)
-            assert corr.min() > 0.9999, corr.min()
-
 
 def test_detect_compact_select_matches_topk():
     # Below capacity, scan-order compaction must select the SAME

@@ -73,22 +73,3 @@ def test_dino_pair_deterministic():
     np.testing.assert_array_equal(np.array(r1.points), np.array(r2.points))
 
 
-@pytest.mark.skipif(not DINO.exists(), reason="dino dataset not available")
-def test_pair_frontend_matches_sequential():
-    # cfg.pair_frontend routes through frontend.extract_sift_pair; the
-    # correspondences fed to geometry must be identical to the
-    # sequential per-image path (same compaction order by construction).
-    img1 = jnp.asarray(load_gray(DINO / "viff.000.ppm")[40:360, 100:612])
-    img2 = jnp.asarray(load_gray(DINO / "viff.001.ppm")[40:360, 100:612])
-    sift = SiftConfig(num_octaves=3, max_pts_per_octave=256, sample_cap=512)
-    a = two_view.frontend_stage(
-        img1, img2, PipelineConfig(sift=sift, geometry_cap=512))
-    b = two_view.frontend_stage(
-        img1, img2,
-        PipelineConfig(sift=sift, geometry_cap=512, pair_frontend=True))
-    ma, mb = np.array(a[2]), np.array(b[2])
-    assert ma.sum() == mb.sum() > 100
-    sa = np.concatenate([np.array(a[0])[ma], np.array(a[1])[ma]], 1)
-    sb = np.concatenate([np.array(b[0])[mb], np.array(b[1])[mb]], 1)
-    ia, ib = np.lexsort(sa.T), np.lexsort(sb.T)
-    np.testing.assert_allclose(sa[ia], sb[ib], atol=1e-3)

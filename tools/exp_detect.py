@@ -116,9 +116,6 @@ def main():
     if want("extract2"):
         timeit(lambda: (frontend.extract_sift(img1, cfg),
                         frontend.extract_sift(img2, cfg)), "extract2", n=6)
-    if want("pair2"):
-        timeit(lambda: frontend.extract_sift_pair(img1, img2, cfg),
-               "extract_pair", n=6)
     if want("scaling"):
         # Pyramid cost vs octave count: linear-in-octaves => fixed
         # per-op overhead dominates (small octaves cost like big ones).

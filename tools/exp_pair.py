@@ -43,9 +43,11 @@ def main():
         sift=SiftConfig(max_pts_per_octave=1024),
         ransac=RansacConfig(n_hyps=1024, threshold=3e-6, chunk=256),
     )
+    # r3 resolution: the pair-batched frontend lost its device A/B
+    # (12.51 vs 10.84 ms/pair at equal matches) and was DELETED from
+    # the codebase; this tool keeps the remaining frontend knob A/Bs.
     cfgs = {
-        "seq": dataclasses.replace(base, pair_frontend=False),
-        "pair": dataclasses.replace(base, pair_frontend=True),
+        "seq": base,
         # sample_cap 2048 -> 1536: sampling kernels + [K,128] matmuls +
         # matcher all scale with slots; CPU quality check was ~neutral
         # (NOTES_R2) — ship only if the time win is real and quality
