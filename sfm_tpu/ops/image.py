@@ -134,8 +134,16 @@ def blur_bank_matmul(img, taps_bank=None, mats=None, precision=None):
         key = bank.tobytes()
         Bc = jnp.asarray(_band_matrix_cached(H, key, bank.shape[1]))
         Br = jnp.asarray(_band_matrix_cached(W, key, bank.shape[1]))
-    tmp = jnp.einsum("bij,jw->biw", Bc, img)      # column pass
-    return jnp.einsum("bhw,bxw->bhx", tmp, Br)    # row pass
+    # Precision.HIGH (bf16x3 passes) on TPU: the DoG downstream is a
+    # DIFFERENCE of near-equal blurs thresholded at ~2/255, and default
+    # single-pass bf16 rounding (~0.4% of 255) injects thousands of
+    # phantom detections at unsaturated capacities (r3 device A/B on
+    # the 1280x960 stereo fixture: 11957 -> 5k-class features).  X3
+    # measured the same speed as default bf16 in r2 (NOTES_R2).
+    if precision is None:
+        precision = jax.lax.Precision.HIGH
+    tmp = jnp.einsum("bij,jw->biw", Bc, img, precision=precision)
+    return jnp.einsum("bhw,bxw->bhx", tmp, Br, precision=precision)
 
 
 def scale_down(img, variance: float = 0.5):
@@ -176,9 +184,15 @@ def scale_down_matmul(img, mats):
     """scale_down as two decimating banded matmuls.
 
     mats: (Dc [H//2, H], Dr [W//2, W]) device arrays (see
-    pyramid.pyramid_band_mats)."""
+    pyramid.pyramid_band_mats).  Precision.HIGH: octave bases feed the
+    DoG threshold (see blur_bank_matmul)."""
     Dc, Dr = mats
-    return (Dc @ img) @ Dr.T
+    hi = jax.lax.Precision.HIGH
+    return jnp.einsum(
+        "hj,jw->hw", Dc,
+        jnp.einsum("jw,xw->jx", img, Dr, precision=hi),
+        precision=hi,
+    )
 
 
 def scale_up(img):

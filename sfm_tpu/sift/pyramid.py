@@ -155,7 +155,11 @@ def build_pyramid(img, cfg: SiftConfig, mats=None) -> list:
         img = imops.scale_up(img)
     if mats and len(mats[0]) >= 6:
         Lc, Lr = mats[0][4:6]
-        base = (Lc @ img) @ Lr.T
+        hi = jax.lax.Precision.HIGH  # feeds the DoG threshold
+        base = jnp.einsum(
+            "hj,jw->hw", Lc, jnp.einsum("jw,xw->jx", img, Lr, precision=hi),
+            precision=hi,
+        )
     else:
         base = lowpass(img, cfg)
     octaves = []
