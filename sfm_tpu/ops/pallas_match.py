@@ -157,8 +157,8 @@ def _make_kernel(bm: int, bn: int, n2_blocks: int):
 @functools.partial(
     jax.jit, static_argnames=("bm", "bn", "bf16", "interpret", "variant")
 )
-def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int = 256,
-                      bn: int = 512, bf16: bool = True,
+def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int | None = None,
+                      bn: int | None = None, bf16: bool = True,
                       interpret: bool = False, variant: str = "lanes"):
     """Running top-2 correlation of [N1,128] vs [N2,128] (Pallas).
 
@@ -173,9 +173,23 @@ def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int = 256,
     into a [BM, 8] accumulator.  Same results up to tie-breaking —
     "tile" keeps the lowest column index on EXACTLY equal scores,
     "lanes" the lowest lane.
+
+    bm/bn default to a size-adaptive sweep winner (tools/bench_match.py
+    r3): bigger tiles amortize per-tile fixed VPU passes once the
+    problem is large enough to fill them — 512x1024 at 16K x 16K
+    (3.66 ms), 512x2048 at 32K x 32K (5.01 ms, 54.9 TFLOP/s; the r2
+    defaults measured 21.4 ms there); small pipeline-shape problems
+    (~2.5K) keep 256x512.
     """
     n1, d = desc1.shape
     n2 = desc2.shape[0]
+    if bm is None:
+        bm = 512 if n1 >= 8192 else 256
+    if bn is None:
+        # Thresholds chosen so pipeline-shape problems (dino config:
+        # N2 = 5120 slots) keep the full-pipeline-A/B'd 512 tile; only
+        # capacity-class problems switch to the sweep winners.
+        bn = 2048 if n2 > 16384 else (1024 if n2 > 6144 else 512)
     if valid2 is None:
         valid2 = jnp.ones((n2,), bool)
     n1p = -(-n1 // bm) * bm
