@@ -7,6 +7,8 @@ Usage:
   python -m sfm_tpu reconstruct IMG1 IMG2 [IMG...] \
       --focal 2360 [--cx CX --cy CY] --out cloud.ply \
       [--metrics metrics.json] [--checkpoint map.npz] [--ba-iters 20]
+  python -m sfm_tpu sift IMG [IMG2] [--thresh 2.0] [--up-scale] \
+      [--out feats.npz] [--metrics out.json] [--homography]
 """
 
 from __future__ import annotations
@@ -154,6 +156,91 @@ def cmd_reconstruct(args):
     return 0
 
 
+def cmd_sift(args):
+    """Standalone SIFT demo: extract (+ match + homography on a pair).
+
+    Replaces the reference's mainSift.cpp:25-93 (ExtractSift on
+    data/left.pgm + data/righ.pgm, MatchSiftData, FindHomography,
+    printed match stats); also exports the features the reference only
+    keeps in device memory.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_tpu.config import MatchConfig, SiftConfig
+    from sfm_tpu.sift import frontend, match as match_mod
+    from sfm_tpu.utils.timing import StageTimer
+
+    timer = StageTimer()
+    t0 = time.perf_counter()
+    imgs = _load_images(args.images)
+    timer.record("load_images", time.perf_counter() - t0)
+    cfg = SiftConfig(
+        num_octaves=args.octaves, thresh=args.thresh,
+        max_pts_per_octave=args.max_pts, up_scale=args.up_scale,
+    )
+
+    t0 = time.perf_counter()
+    results = [frontend.extract_sift(jnp.asarray(im), cfg) for im in imgs]
+    counts = [int(r.keypoints.count()) for r in results]
+    timer.record("extract", time.perf_counter() - t0)
+    metrics = {"mode": "sift", "num_images": len(imgs), "features": counts}
+
+    if len(imgs) == 2:
+        t0 = time.perf_counter()
+        f1, f2 = results
+        m = match_mod.match(
+            f1.descriptors, f2.descriptors,
+            f1.keypoints.valid, f2.keypoints.valid, MatchConfig(),
+        )
+        n_match = int(jnp.sum(m.valid))
+        timer.record("match", time.perf_counter() - t0)
+        metrics["num_matches"] = n_match
+        metrics["match_pct"] = round(100.0 * n_match / max(counts[0], 1), 1)
+
+        if args.homography:
+            from sfm_tpu.geometry import homography
+
+            t0 = time.perf_counter()
+            uv1 = jnp.stack([f1.keypoints.x, f1.keypoints.y], axis=-1)
+            uv2 = jnp.stack(
+                [f2.keypoints.x, f2.keypoints.y], axis=-1
+            )[m.index]
+            res = homography.ransac_homography(
+                jax.random.PRNGKey(args.seed), uv1, uv2, m.valid,
+                n_hyps=1024, threshold=float(args.homography_thresh) ** 2,
+            )
+            timer.record("homography", time.perf_counter() - t0)
+            metrics["homography_inliers"] = int(res.num_inliers)
+            metrics["H"] = np.round(np.array(res.H), 6).tolist()
+
+    if args.out:
+        t0 = time.perf_counter()
+        arrays = {}
+        for i, r in enumerate(results):
+            kp = r.keypoints
+            v = np.asarray(kp.valid)
+            arrays.update({
+                f"x{i}": np.asarray(kp.x)[v],
+                f"y{i}": np.asarray(kp.y)[v],
+                f"scale{i}": np.asarray(kp.scale)[v],
+                f"orientation{i}": np.asarray(kp.orientation)[v],
+                f"descriptors{i}": np.asarray(r.descriptors)[v],
+            })
+        np.savez_compressed(args.out, **arrays)
+        timer.record("export", time.perf_counter() - t0)
+        metrics["out"] = args.out
+
+    metrics["stage_times"] = timer.summary()
+    out = json.dumps(metrics, indent=2)
+    print(out)
+    if args.metrics:
+        with open(args.metrics, "w") as f:
+            f.write(out)
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="sfm_tpu", description=__doc__)
     p.add_argument(
@@ -201,6 +288,30 @@ def main(argv=None):
              "JAX_PROCESS_ID) and shard over ALL global devices",
     )
     r.set_defaults(fn=cmd_reconstruct)
+
+    s = sub.add_parser(
+        "sift", help="standalone SIFT extract/match demo (≙ mainSift.cpp)"
+    )
+    s.add_argument("images", nargs="+", help="1 image = extract only; "
+                   "2 = extract + ratio-test match")
+    s.add_argument("--octaves", type=int, default=5)
+    s.add_argument("--thresh", type=float, default=2.0,
+                   help="DoG threshold (reference mainSift.cpp default class)")
+    s.add_argument("--max-pts", type=int, default=2048,
+                   help="keypoint capacity per octave")
+    s.add_argument("--up-scale", action="store_true",
+                   help="2x upscale before the pyramid (Lowe's -1 octave)")
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--homography", action="store_true",
+                   help="fit a RANSAC homography to the matches "
+                        "(≙ FindHomography, mainSift.cpp:80)")
+    s.add_argument("--homography-thresh", type=float, default=3.0,
+                   help="inlier gate in px")
+    s.add_argument("--out", default=None,
+                   help="write features (x/y/scale/orientation/descriptors "
+                        "per image) to this .npz")
+    s.add_argument("--metrics", default=None, help="write stats JSON here")
+    s.set_defaults(fn=cmd_sift)
 
     args = p.parse_args(argv)
     if args.platform == "cpu":

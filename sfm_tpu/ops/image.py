@@ -39,11 +39,15 @@ def _sep_conv(img, taps_row, taps_col):
     """Separable filtering of [C, H, W] with per-channel taps.
 
     taps_row/taps_col: [C, K] applied along W and H respectively, with
-    edge-clamped boundaries.
+    edge-clamped boundaries.  Precision.HIGH on TPU: these blurs feed
+    the DoG difference-of-near-equals, where single-pass bf16 rounding
+    injects phantom detections (same hazard as the matmul blur path —
+    see NOTES_R3, the Precision.HIGH phantom fix).
     """
     C, H, W = img.shape
     K = taps_row.shape[-1]
     r = K // 2
+    hi = jax.lax.Precision.HIGH
     x = jnp.pad(img, ((0, 0), (0, 0), (r, r)), mode="edge")
     # Depthwise conv along W: NCHW with feature_group_count=C
     x = jax.lax.conv_general_dilated(
@@ -53,6 +57,7 @@ def _sep_conv(img, taps_row, taps_col):
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=C,
+        precision=hi,
     )[0]
     x = jnp.pad(x, ((0, 0), (r, r), (0, 0)), mode="edge")
     x = jax.lax.conv_general_dilated(
@@ -62,6 +67,7 @@ def _sep_conv(img, taps_row, taps_col):
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=C,
+        precision=hi,
     )[0]
     return x
 

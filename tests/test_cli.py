@@ -47,3 +47,39 @@ def test_cli_two_view(tmp_path):
     head = out.read_bytes()[:200]
     assert head.startswith(b"ply")
     assert f"element vertex {m['num_points']}".encode() in head
+
+
+@pytest.mark.skipif(not DINO.exists(), reason="dino dataset not available")
+def test_cli_sift_pair(tmp_path):
+    """`sift` subcommand ≙ the reference's standalone demo
+    (mainSift.cpp:25-93): extract a pair, match, fit a homography,
+    export features."""
+    paths = []
+    for i in range(2):
+        img = np.asarray(load_gray(DINO / f"viff.{i:03d}.ppm"))[40:360, 100:612]
+        u8 = np.clip(img, 0, 255).astype(np.uint8)
+        p = tmp_path / f"crop{i}.pgm"
+        h, w = u8.shape
+        p.write_bytes(f"P5\n{w} {h}\n255\n".encode() + u8.tobytes())
+        paths.append(str(p))
+
+    out = tmp_path / "feats.npz"
+    met = tmp_path / "sift.json"
+    rc = cli.main([
+        "sift", *paths,
+        "--octaves", "4", "--max-pts", "512", "--thresh", "1.0",
+        "--homography", "--homography-thresh", "5.0",
+        "--out", str(out), "--metrics", str(met),
+    ])
+    assert rc == 0
+    m = json.loads(met.read_text())
+    assert m["mode"] == "sift"
+    assert m["features"][0] > 200 and m["features"][1] > 200, m
+    assert m["num_matches"] > 100, m
+    assert m["homography_inliers"] > 0, m
+    z = np.load(out)
+    assert z["descriptors0"].shape == (m["features"][0], 128)
+    assert z["x1"].shape == (m["features"][1],)
+    # Descriptors are L2-normalized.
+    n = np.linalg.norm(z["descriptors0"], axis=1)
+    assert np.allclose(n[n > 0], 1.0, atol=1e-3)

@@ -45,9 +45,12 @@ def main():
     from sfm_tpu.utils.timing import measure_rtt
 
     which = "up_t2.0"
+    blur = "matmul"
     for a in sys.argv:
         if a.startswith("--config="):
             which = a.split("=", 1)[1]
+        if a.startswith("--blur="):
+            blur = a.split("=", 1)[1]  # matmul | conv
 
     if which == "dino":
         img = jnp.asarray(load_gray("/root/reference/data/dino/viff.000.ppm"))
@@ -60,6 +63,10 @@ def main():
             num_octaves=5, max_pts_per_octave=4096, sample_cap=16384,
             thresh=thresh, up_scale=up,
         )
+    if blur == "conv":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, blur_matmul=False)
     print(f"config {which}: image {img.shape}, up={cfg.up_scale}, "
           f"slots {cfg.num_octaves * cfg.max_pts_per_octave}, "
           f"cap {cfg.sample_cap}", flush=True)

@@ -36,13 +36,29 @@ def main():
     from sfm_tpu.io.image_io import load_gray
     from sfm_tpu.sift import frontend, pyramid, detect as detect_mod
 
-    which = set(sys.argv[1:]) or {"all"}
+    which = set(a for a in sys.argv[1:] if not a.startswith("--")) or {"all"}
     want = lambda n: "all" in which or n in which
 
-    img1 = jnp.asarray(load_gray("/root/reference/data/dino/viff.000.ppm"))
-    img2 = jnp.asarray(load_gray("/root/reference/data/dino/viff.001.ppm"))
+    # --config=up_t2.0 etc. switches to the 1280x960 stereo fixture at
+    # the high-capacity class (cf. tools/bench_extract.py); default is
+    # the dino pipeline config.
+    config = "dino"
+    for a in sys.argv:
+        if a.startswith("--config="):
+            config = a.split("=", 1)[1]
+    if config == "dino":
+        img1 = jnp.asarray(load_gray("/root/reference/data/dino/viff.000.ppm"))
+        img2 = jnp.asarray(load_gray("/root/reference/data/dino/viff.001.ppm"))
+        cfg = SiftConfig(max_pts_per_octave=1024)
+    else:
+        img1 = jnp.asarray(load_gray("/root/reference/CudaSift/data/left.pgm"))
+        img2 = jnp.asarray(load_gray("/root/reference/CudaSift/data/righ.pgm"))
+        cfg = SiftConfig(
+            num_octaves=5, max_pts_per_octave=4096, sample_cap=16384,
+            thresh=float(config.split("_t", 1)[1]),
+            up_scale=config.startswith("up"),
+        )
     jax.block_until_ready((img1, img2))
-    cfg = SiftConfig(max_pts_per_octave=1024)
 
     from sfm_tpu.utils.timing import measure_rtt
 
@@ -79,17 +95,46 @@ def main():
         octs = pyramid.build_pyramid(img, cfg, mats if mats else None)
         return [jnp.sum(detect_mod._refine_dense(o.dog, cfg.num_scales)[3]) for o in octs]
 
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def pyr_nms(img, cfg, mats):
+        octs = pyramid.build_pyramid(img, cfg, mats if mats else None)
+        outs = []
+        for o in octs:
+            c, mx, mn = detect_mod._neighbor_extrema(o.dog, cfg.num_scales)
+            outs.append(jnp.sum(((c > mx) | (c < mn)).astype(jnp.int32)))
+        return outs
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def pyr_topk(img, cfg, mats):
+        # pyramid + per-octave top_k over |center| (no NMS/refine): the
+        # selection cost in isolation.
+        octs = pyramid.build_pyramid(img, cfg, mats if mats else None)
+        outs = []
+        for o in octs:
+            resp = jnp.max(jnp.abs(o.dog[1:-1]), axis=0).reshape(-1)
+            k = min(cfg.max_pts_per_octave, resp.shape[0])
+            outs.append(jax.lax.top_k(resp, k)[0][0])
+        return outs
+
     if want("pyr"):
         timeit(lambda: pyr_only(img1, cfg, mats), "pyr")
+    if want("nms"):
+        timeit(lambda: pyr_nms(img1, cfg, mats), "pyr+nms")
+    if want("topk"):
+        timeit(lambda: pyr_topk(img1, cfg, mats), "pyr+topk")
     if want("ref"):
         timeit(lambda: pyr_ref(img1, cfg, mats), "pyr+refine")
     if want("full"):
         timeit(lambda: frontend._detect_stage(img1, cfg, mats), "full")
     if want("approx"):
-        acfg = SiftConfig(max_pts_per_octave=1024, select="approx")
+        import dataclasses as _dc
+
+        acfg = _dc.replace(cfg, select="approx")
         timeit(lambda: frontend._detect_stage(img1, acfg, mats), "approx")
     if want("compact"):
-        ccfg = SiftConfig(max_pts_per_octave=1024, select="compact")
+        import dataclasses as _dc
+
+        ccfg = _dc.replace(cfg, select="compact")
         timeit(lambda: frontend._detect_stage(img1, ccfg, mats), "compact")
     if want("batch2"):
         imgs = jnp.stack([img1, img2])
