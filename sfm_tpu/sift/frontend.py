@@ -62,6 +62,16 @@ def _use_pallas(cfg: SiftConfig) -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _use_fused_detect(cfg: SiftConfig) -> bool:
+    if cfg.fused_detect is not None:
+        return cfg.fused_detect
+    # Auto: on for TPU (r3 device A/B, tools/exp_detect.py fused vs
+    # full — up-scale capacity class 38.2 -> 11.1 ms at exactly equal
+    # detection counts; dino config 0.73 -> <0.1 ms).  CPU keeps the
+    # XLA dense path (interpret-mode kernels are test-only).
+    return jax.default_backend() != "cpu"
+
+
 def _build_atlas(bases):
     """Pack octave base images vertically with edge-replicated guards.
 
@@ -139,6 +149,24 @@ def _detect_impl(img, cfg: SiftConfig, mats):
     octaves shared one blur bank, no lowest_scale gate), so the fork
     was removed in r2 — one detection path only.
     """
+    if _use_fused_detect(cfg):
+        # Fused-Pallas dense stage: only the octave BASES are computed
+        # in XLA (lowpass + decimation); blur bank, DoG, NMS, and
+        # refinement all run inside ops/pallas_detect.py per octave,
+        # so the DoG volume (and the per-octave Bc/Br banded matrices)
+        # never exist in HBM.
+        bases = pyramid.base_chain(img, cfg, mats if mats else None)
+        atlas, offsets = _build_atlas(bases)
+        dets = []
+        sub = 1.0
+        interp = jax.default_backend() == "cpu"
+        for o, off in enumerate(offsets):
+            taps = pyramid.octave_kernel_bank(cfg, o)
+            d = detect_mod.detect_fused(bases[o], taps, cfg, sub,
+                                        interpret=interp)
+            dets.append(d._replace(y=d.y + off))
+            sub *= 2.0
+        return atlas, dets
     octaves = pyramid.build_pyramid(img, cfg, mats if mats else None)
     atlas, offsets = _build_atlas([o.base for o in octaves])
     dets = []
@@ -158,11 +186,15 @@ def _detect_stage(img, cfg: SiftConfig, mats=()):
 
 
 def _mats_for(shape, cfg: SiftConfig):
-    return (
-        pyramid.pyramid_band_mats(tuple(shape), cfg)
-        if pyramid.use_blur_matmul(cfg)
-        else ()
-    )
+    if not pyramid.use_blur_matmul(cfg):
+        return ()
+    if _use_fused_detect(cfg):
+        # The fused kernel computes the blur bank itself; only the
+        # lowpass + decimation matrices are needed (the per-octave
+        # Bc/Br banded matrices are ~450 MB at the up-scale capacity
+        # class — never built on this path).
+        return pyramid.pyramid_decim_mats(tuple(shape), cfg)
+    return pyramid.pyramid_band_mats(tuple(shape), cfg)
 
 
 def extract_sift(img, cfg: SiftConfig = SiftConfig()) -> SiftResult:

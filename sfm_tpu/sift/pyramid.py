@@ -127,6 +127,68 @@ def pyramid_band_mats(shape, cfg: SiftConfig):
     return tuple(mats)
 
 
+@functools.lru_cache(maxsize=16)
+def pyramid_decim_mats(shape, cfg: SiftConfig):
+    """Lowpass + decimation matrices only (cached DEVICE arrays): the
+    fused-Pallas dense stage (ops/pallas_detect.py) computes the blur
+    bank in-kernel, so the multi-hundred-MB per-octave Bc/Br banded
+    matrices of pyramid_band_mats are never built on that path.
+
+    Returns ((Lc, Lr), (Dc0, Dr0), (Dc1, Dr1), ...) for num_octaves-1
+    decimations.
+    """
+    import jax.numpy as jnp
+
+    H, W = shape
+    if cfg.up_scale:
+        H, W = 2 * H, 2 * W
+    sigma = max(cfg.init_blur, 1e-3)
+    lp = imops.gaussian_kernel(cfg.lowpass_radius, sigma * sigma).astype(
+        np.float32
+    )[None]
+    lp_key = lp.tobytes()
+    out = [(
+        jnp.asarray(imops._band_matrix_cached(H, lp_key, lp.shape[1])[0]),
+        jnp.asarray(imops._band_matrix_cached(W, lp_key, lp.shape[1])[0]),
+    )]
+    sd_taps = imops.gaussian_kernel(2, 0.5).astype(np.float32)
+    sd_key = sd_taps.tobytes()
+    for _ in range(cfg.num_octaves - 1):
+        out.append((
+            jnp.asarray(imops._decim_matrix_cached(H, sd_key)),
+            jnp.asarray(imops._decim_matrix_cached(W, sd_key)),
+        ))
+        H, W = H // 2, W // 2
+    return tuple(out)
+
+
+def base_chain(img, cfg: SiftConfig, decim_mats=None) -> list:
+    """Octave base images only (no blur bank): lowpass prefilter then
+    the scale-down descent — the inputs the fused-Pallas dense stage
+    needs (it derives DoG in-kernel).  decim_mats: pyramid_decim_mats,
+    or None for the grouped-conv path (CPU / blur_matmul=False).
+    """
+    if cfg.up_scale:
+        img = imops.scale_up(img)
+    if decim_mats is not None:
+        Lc, Lr = decim_mats[0]
+        hi = jax.lax.Precision.HIGH  # feeds the DoG threshold
+        base = jnp.einsum(
+            "hj,jw->hw", Lc, jnp.einsum("jw,xw->jx", img, Lr, precision=hi),
+            precision=hi,
+        )
+    else:
+        base = lowpass(img, cfg)
+    bases = [base]
+    for o in range(cfg.num_octaves - 1):
+        if decim_mats is not None:
+            base = imops.scale_down_matmul(base, decim_mats[1 + o])
+        else:
+            base = imops.scale_down(base, 0.5)
+        bases.append(base)
+    return bases
+
+
 def build_octave(base, cfg: SiftConfig, octave_index: int, subsampling: float,
                  mats=None) -> Octave:
     bank = octave_kernel_bank(cfg, octave_index)

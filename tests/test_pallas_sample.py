@@ -169,3 +169,117 @@ def test_pallas_matcher_matches_xla(rng):
     np.testing.assert_array_equal(np.array(il), np.array(i_ref))
     np.testing.assert_allclose(np.array(bl), np.array(b_ref), atol=1e-5)
     np.testing.assert_allclose(np.array(sl), np.array(s_ref), atol=1e-5)
+
+
+def test_fused_detect_maps_match_xla(rng):
+    """ops/pallas_detect.detect_maps (interpret) vs the XLA dense
+    detection composed from pyramid + detect internals: candidate sets
+    and responses must agree up to f32 summation-order rounding (blur
+    as 9-tap FMAs vs grouped conv) — a handful of near-tie NMS flips
+    at most."""
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from sfm_tpu.config import SiftConfig
+    from sfm_tpu.io.image_io import load_gray
+    from sfm_tpu.ops import pallas_detect
+    from sfm_tpu.sift import pyramid, detect as detect_mod
+
+    dino = pathlib.Path("/root/reference/data/dino/viff.000.ppm")
+    if not dino.exists():
+        pytest.skip("dino fixture not available")
+    cfg = SiftConfig(max_pts_per_octave=256, num_octaves=1)
+    img = jnp.asarray(np.asarray(load_gray(dino))[100:220, 100:400])
+    octave = pyramid.build_pyramid(img, cfg, None)[0]
+    dog, S = octave.dog, cfg.num_scales
+
+    # XLA maps (mirrors detect.detect up to selection).
+    center, maxv, minv = detect_mod._neighbor_extrema(dog, S)
+    H, W = dog.shape[1:]
+    is_max = center > jnp.maximum(jnp.float32(cfg.thresh), maxv)
+    is_min = center < jnp.minimum(jnp.float32(-cfg.thresh), minv)
+    border = jnp.zeros((H, W), bool).at[1:-1, 1:-1].set(True)
+    cand = (is_max | is_min) & border[None]
+    refined = detect_mod._refine_dense(dog, S)
+    edge_ok = (refined[4] > 0.0) & (refined[4] < cfg.edge_limit)
+    scale_d = jnp.exp2(
+        (jax.lax.broadcasted_iota(jnp.float32, center.shape, 0) + refined[2])
+        / S
+    )
+    cand = cand & edge_ok & (scale_d >= cfg.lowest_scale)
+    resp = jnp.where(cand, jnp.abs(center), -1.0)
+    resp_px = np.asarray(jnp.max(resp, axis=0))
+    s_sel = np.asarray(jnp.argmax(resp, axis=0))
+
+    taps = pyramid.octave_kernel_bank(cfg, 0)
+    taps_t = tuple(tuple(float(v) for v in row) for row in np.asarray(taps))
+    kresp, kaux = pallas_detect.detect_maps(
+        octave.base, taps=taps_t, n_scales=S, thresh=float(cfg.thresh),
+        edge_limit=float(cfg.edge_limit), scale_gate=0.0, interpret=True,
+    )
+    kresp = np.asarray(kresp)
+    kaux = np.asarray(kaux)
+
+    ca, cb = resp_px > 0, kresp > 0
+    n_disagree = int(np.sum(ca != cb))
+    assert ca.sum() > 30, "fixture produced too few candidates"
+    assert n_disagree <= max(2, 0.005 * ca.sum()), (n_disagree, ca.sum())
+    both = ca & cb
+    np.testing.assert_allclose(kresp[both], resp_px[both], atol=1e-3)
+    same_scale = both & (kaux[0] == s_sel)
+    # aux values at agreeing (pixel, scale): refined offsets + metrics.
+    ref5 = np.asarray(refined)  # [5, S, H, W]
+    ys, xs = np.nonzero(same_scale)
+    ss = s_sel[ys, xs]
+    np.testing.assert_allclose(
+        kaux[1][ys, xs], ref5[0, ss, ys, xs], atol=5e-2
+    )  # pdx
+    np.testing.assert_allclose(
+        kaux[4][ys, xs], ref5[3, ss, ys, xs], atol=1e-2
+    )  # sharpness
+    assert same_scale.sum() >= 0.99 * both.sum()
+
+
+def test_fused_detect_end_to_end_parity(rng):
+    """extract_sift with fused_detect=True vs the XLA path on a real
+    image: identical keypoint counts (up to near-tie reordering at the
+    capacity boundary) and >= 95% position-set overlap."""
+    import dataclasses
+    import pathlib
+
+    import jax.numpy as jnp
+    import pytest
+
+    from sfm_tpu.config import SiftConfig
+    from sfm_tpu.io.image_io import load_gray
+    from sfm_tpu.sift import frontend
+
+    dino = pathlib.Path("/root/reference/data/dino/viff.000.ppm")
+    if not dino.exists():
+        pytest.skip("dino fixture not available")
+    img = jnp.asarray(np.asarray(load_gray(dino))[:288, :360])
+    cfg = SiftConfig(max_pts_per_octave=512, num_octaves=3)
+    r_x = frontend.extract_sift(img, cfg)
+    r_f = frontend.extract_sift(
+        img, dataclasses.replace(cfg, fused_detect=True)
+    )
+    vx = np.asarray(r_x.keypoints.valid)
+    vf = np.asarray(r_f.keypoints.valid)
+    assert abs(int(vx.sum()) - int(vf.sum())) <= max(2, 0.01 * vx.sum())
+
+    def posset(r, v):
+        kp = r.keypoints
+        return set(
+            zip(
+                np.round(np.asarray(kp.x)[v], 1),
+                np.round(np.asarray(kp.y)[v], 1),
+                np.round(np.asarray(kp.scale)[v], 2),
+            )
+        )
+
+    sx, sf = posset(r_x, vx), posset(r_f, vf)
+    inter = len(sx & sf)
+    assert inter >= 0.95 * max(len(sx), len(sf)), (inter, len(sx), len(sf))

@@ -67,6 +67,10 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg, blur_matmul=False)
+    if "--fused" in sys.argv:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fused_detect=True)
     print(f"config {which}: image {img.shape}, up={cfg.up_scale}, "
           f"slots {cfg.num_octaves * cfg.max_pts_per_octave}, "
           f"cap {cfg.sample_cap}", flush=True)

@@ -126,6 +126,17 @@ def main():
         timeit(lambda: pyr_ref(img1, cfg, mats), "pyr+refine")
     if want("full"):
         timeit(lambda: frontend._detect_stage(img1, cfg, mats), "full")
+    if want("fused"):
+        import dataclasses as _dc
+
+        fcfg = _dc.replace(cfg, fused_detect=True)
+        fmats = frontend._mats_for(img1.shape, fcfg)
+        timeit(lambda: frontend._detect_stage(img1, fcfg, fmats), "fused")
+        r_f = frontend._detect_stage(img1, fcfg, fmats)
+        r_x = frontend._detect_stage(img1, cfg, mats)
+        nf = sum(int(np.asarray(jnp.sum(d.valid))) for d in r_f[1])
+        nx = sum(int(np.asarray(jnp.sum(d.valid))) for d in r_x[1])
+        print(f"fused detections {nf} vs xla {nx}", flush=True)
     if want("approx"):
         import dataclasses as _dc
 
