@@ -84,10 +84,10 @@ def main():
     log(f"compile+first run: {time.time()-t0:.1f} s")
     # Quality over several RANSAC seeds (the draw moves the valid-point
     # count by ~20%; a single seed is noise-hostage), reported as the
-    # median.  Floors sit under the r3 measured config (median 1190 /
-    # ~850 / ~760 at cap 2560 + refine_rounds 2) so regressions are
-    # loud (r2 lost 33% of valid points to slot caps unnoticed —
-    # VERDICT r2 weak item 1).
+    # median.  Floors sit under the r3 measured config (median ~1141 /
+    # ~930 / ~910 at cap 2560 + fused detect + refine_rounds 3) so
+    # regressions are loud (r2 lost 33% of valid points to slot caps
+    # unnoticed — VERDICT r2 weak item 1).
     qs = []
     for s in range(4):
         r = run(s)
@@ -103,7 +103,7 @@ def main():
         f"valid_points={n_valid:.0f} reproj_px={reproj_px:.3f}"
     )
     floors = {"matches": (n_matches, 1100), "inliers": (n_inliers, 700),
-              "valid_points": (n_valid, 650)}
+              "valid_points": (n_valid, 750)}
     for name, (got, floor) in floors.items():
         if got < floor:
             log(f"WARNING: {name}={got} BELOW FLOOR {floor} — "

@@ -108,7 +108,12 @@ class PipelineConfig:
     # the previous one, and the final result is the best round by
     # valid-point count (branchless select; round 1 reproduces the
     # single-round behavior, so extra rounds can only gain).
-    refine_rounds: int = 2
+    # 3 rounds (r3 device sweep, tools/exp_quality.py): +0.7 ms/pair
+    # over 2 rounds but the worst RANSAC seed goes 614 -> 833 valid
+    # points / 3.0 -> 1.0 px; fewer GN iters per round (it6) cannot
+    # rescue that seed (513 valid), so rounds buy what iterations
+    # cannot.
+    refine_rounds: int = 3
     # Compact correspondences to this many slots before the geometry
     # program (valid entries first).  The keypoint capacity is
     # num_octaves * 2 * max_pts_per_octave slots (10240 in the bench

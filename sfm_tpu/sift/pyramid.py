@@ -171,6 +171,13 @@ def base_chain(img, cfg: SiftConfig, decim_mats=None) -> list:
     if cfg.up_scale:
         img = imops.scale_up(img)
     if decim_mats is not None:
+        if len(decim_mats[0]) != 2:
+            raise ValueError(
+                "base_chain expects pyramid_decim_mats (((Lc, Lr), (Dc, "
+                "Dr), ...)); got a pyramid_band_mats tuple — the fused "
+                "detect path and the banded-matmul path take different "
+                "matrix pytrees (frontend._mats_for dispatches on cfg)."
+            )
         Lc, Lr = decim_mats[0]
         hi = jax.lax.Precision.HIGH  # feeds the DoG threshold
         base = jnp.einsum(
@@ -192,6 +199,12 @@ def base_chain(img, cfg: SiftConfig, decim_mats=None) -> list:
 def build_octave(base, cfg: SiftConfig, octave_index: int, subsampling: float,
                  mats=None) -> Octave:
     bank = octave_kernel_bank(cfg, octave_index)
+    if mats is not None and len(mats) < 4:
+        raise ValueError(
+            "build_octave expects pyramid_band_mats per-octave tuples "
+            "(Bc, Br, Dc, Dr[, Lc, Lr]); got pyramid_decim_mats — see "
+            "frontend._mats_for."
+        )
     if mats is not None:
         blurred = imops.blur_bank_matmul(base, mats=mats[:2])  # [S+3, H, W]
     else:

@@ -102,14 +102,23 @@ def main():
             if not (want("detect") if mode else want("detect_conv")):
                 continue
             scfg = SiftConfig(max_pts_per_octave=1024, blur_matmul=mode)
+            # NOTE: mats must be passed explicitly — without them the
+            # stage silently runs the grouped-conv path regardless of
+            # blur_matmul (that bug made both rows read ~48 ms).
+            mats = frontend._mats_for(img1.shape, scfg)
             chain_stage(
-                lambda scfg=scfg: frontend._detect_stage(img1, scfg), name
+                lambda scfg=scfg, mats=mats: frontend._detect_stage(
+                    img1, scfg, mats
+                ),
+                name,
             )
 
     if want("sample"):
         scfg = SiftConfig(max_pts_per_octave=1024)
         offsets, subs = frontend.atlas_layout(img1.shape, scfg)
-        atlas, dets = frontend._detect_stage(img1, scfg)
+        atlas, dets = frontend._detect_stage(
+            img1, scfg, frontend._mats_for(img1.shape, scfg)
+        )
         jax.block_until_ready((atlas, dets))
         chain_stage(
             lambda: frontend._sample_stage(

@@ -46,17 +46,21 @@ def main():
     for a in sys.argv:
         if a.startswith("--config="):
             config = a.split("=", 1)[1]
+    # fused_detect pinned OFF for the base cfg: every non-"fused"
+    # variant here measures the XLA banded-matmul path (the knob is
+    # auto-ON for TPU since r3, so the default would silently flip
+    # both A/B arms to the kernel).
     if config == "dino":
         img1 = jnp.asarray(load_gray("/root/reference/data/dino/viff.000.ppm"))
         img2 = jnp.asarray(load_gray("/root/reference/data/dino/viff.001.ppm"))
-        cfg = SiftConfig(max_pts_per_octave=1024)
+        cfg = SiftConfig(max_pts_per_octave=1024, fused_detect=False)
     else:
         img1 = jnp.asarray(load_gray("/root/reference/CudaSift/data/left.pgm"))
         img2 = jnp.asarray(load_gray("/root/reference/CudaSift/data/righ.pgm"))
         cfg = SiftConfig(
             num_octaves=5, max_pts_per_octave=4096, sample_cap=16384,
             thresh=float(config.split("_t", 1)[1]),
-            up_scale=config.startswith("up"),
+            up_scale=config.startswith("up"), fused_detect=False,
         )
     jax.block_until_ready((img1, img2))
 

@@ -77,6 +77,19 @@ def main():
         "cap3072": var(sample_cap=3072, geometry_cap=3072),
         "cap0": var(sample_cap=0, geometry_cap=0),
         "cap3072_h2048": var(sample_cap=3072, geometry_cap=3072, n_hyps=2048),
+        # Third refine<->re-vote round: CPU sweep showed it strictly
+        # dominating on every seed (worst seed 474 -> 688 valid) for
+        # ~one subset-round of extra latency.
+        "rounds3": dataclasses.replace(base, refine_rounds=3),
+        "rounds4": dataclasses.replace(base, refine_rounds=4),
+        # More rounds x fewer GN iterations per round: same total
+        # refinement budget, more re-vote checkpoints.
+        "rounds3_it6": dataclasses.replace(
+            base, refine_rounds=3, refine_iters=6),
+        "rounds4_it6": dataclasses.replace(
+            base, refine_rounds=4, refine_iters=6),
+        "rounds4_it5": dataclasses.replace(
+            base, refine_rounds=4, refine_iters=5),
     }
     if args.only:
         names = args.only.split(",")
