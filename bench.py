@@ -109,7 +109,17 @@ def main():
             log(f"WARNING: {name}={got} BELOW FLOOR {floor} — "
                 "quality regression, do not ship")
     if reproj_px > 1.0:
-        log(f"WARNING: reproj_px={reproj_px:.3f} above 1.0 px ceiling")
+        log(f"WARNING: median reproj_px={reproj_px:.3f} above 1.0 px ceiling")
+    # Per-seed gates (VERDICT r3 weak item 3: median-only gating let a
+    # 1.23 px seed ship silently): EVERY seed must clear the tail
+    # floors, not just the middle of the distribution.
+    for s, (qm, qi, qv, qpx) in enumerate(qs):
+        if qv < 800:
+            log(f"WARNING: seed {s} valid_points={qv} below per-seed "
+                "floor 800 — bad-seed tail regression")
+        if qpx > 1.05:
+            log(f"WARNING: seed {s} reproj_px={qpx:.3f} above per-seed "
+                "1.05 px ceiling — bad-seed tail regression")
 
     # Amortized throughput: N chained dispatches, one sync.  The dev
     # tunnel to the TPU has a ~28.5 ms round-trip latency per synced

@@ -74,12 +74,21 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
     from sfm_tpu.geometry import epipolar
 
     # First vote only picks a candidate branch + seeds refinement; a
-    # compacted-slot subset decides it identically (cfg.vote_cap).
-    vc = cfg.vote_cap if (cfg.vote_cap and cfg.vote_cap < x1.shape[0]) else None
-    p = pose.recover_pose(
-        res.E, x1[:vc], x2[:vc],
-        weights=res.inliers[:vc].astype(x1.dtype),
-    )
+    # compacted subset decides it identically (cfg.vote_cap).  The
+    # subset is compacted by RANSAC-inlier membership HERE rather than
+    # assuming the caller packed valid rows first (a direct caller, or
+    # geometry_cap=0, hands over masked-not-compacted slots — a plain
+    # [:vc] slice could then vote on mostly-dead rows).
+    if cfg.vote_cap and cfg.vote_cap < x1.shape[0]:
+        from sfm_tpu.ops.compact import compaction_order
+
+        vsel = compaction_order(res.inliers)[: cfg.vote_cap]
+        x1v, x2v = x1[vsel], x2[vsel]
+        wv = res.inliers[vsel].astype(x1.dtype)
+    else:
+        x1v, x2v = x1, x2
+        wv = res.inliers.astype(x1.dtype)
+    p = pose.recover_pose(res.E, x1v, x2v, weights=wv)
     # Refine <-> re-vote <-> re-score rounds with a branchless best-of
     # selection (see PipelineConfig.refine_rounds).  The Sampson
     # objective is invariant to the 4-fold (R, t) ambiguity of E, so
@@ -101,10 +110,7 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
         # two-ray midpoint depths (~10 ops/point) instead of the 4x N
         # DLT solves of a full recover_pose — only the WINNING round
         # pays for the full triangulation (below).
-        p2 = pose.recover_pose(
-            ref.E, x1[:vc], x2[:vc],
-            weights=res.inliers[:vc].astype(x1.dtype),
-        )
+        p2 = pose.recover_pose(ref.E, x1v, x2v, weights=wv)
         E_n = ref.E * (jnp.sqrt(2.0) / jnp.linalg.norm(ref.E))
         r = epipolar.epipolar_residuals(E_n, x1, x2)
         inl = (r < rc.threshold) & mask

@@ -190,6 +190,12 @@ def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int | None = None,
         # N2 = 5120 slots) keep the full-pipeline-A/B'd 512 tile; only
         # capacity-class problems switch to the sweep winners.
         bn = 2048 if n2 > 16384 else (1024 if n2 > 6144 else 512)
+    if variant == "lanes" and (bn % 128 != 0 or bn < 128):
+        raise ValueError(
+            f"lanes variant needs bn to be a positive multiple of 128 "
+            f"(got bn={bn}); columns beyond the last full 128-group "
+            "would silently drop from the top-2 merge"
+        )
     if valid2 is None:
         valid2 = jnp.ones((n2,), bool)
     n1p = -(-n1 // bm) * bm

@@ -23,9 +23,19 @@ from sfm_tpu.sift.match import Matches, match_descriptors_top2, _NEG
 from sfm_tpu.parallel.mesh import DATA_AXIS
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "chunk", "axis"))
+def _use_pallas(use_pallas):
+    if use_pallas is not None:
+        return use_pallas
+    return jax.default_backend() != "cpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "chunk", "axis", "use_pallas", "bf16"),
+)
 def dist_match_top2(desc1, desc2_sh, valid2_sh, mesh: Mesh, *,
-                    chunk: int = 2048, axis: str = DATA_AXIS):
+                    chunk: int = 2048, axis: str = DATA_AXIS,
+                    use_pallas: bool | None = None, bf16: bool = True):
     """Distributed top-2 matching.
 
     Args:
@@ -33,35 +43,55 @@ def dist_match_top2(desc1, desc2_sh, valid2_sh, mesh: Mesh, *,
       desc2_sh: [N2, 128] sharded on the leading dim (N2 divisible by
         the mesh size; pad + mask otherwise).
       valid2_sh: [N2] sharded validity.
+      use_pallas: per-shard kernel choice; None = auto (the fused
+        Pallas top-2 on TPU — same 3.66 ms/16K speed as the local
+        matcher — interpret-mode/XLA scan on CPU).
 
     Returns replicated (best, second, index) with global indices.
     """
+    pallas = _use_pallas(use_pallas)
 
     def body(d1, d2_loc, v2_loc):
         n2_loc = d2_loc.shape[0]
         me = jax.lax.axis_index(axis)
-        best, second, idx = match_descriptors_top2(
-            d1, d2_loc, v2_loc, chunk=min(chunk, n2_loc)
-        )
+        if pallas:
+            from sfm_tpu.ops import pallas_match
+
+            best, second, idx = pallas_match.match_top2_pallas(
+                d1, d2_loc, v2_loc, bf16=bf16,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            best, second, idx = match_descriptors_top2(
+                d1, d2_loc, v2_loc, chunk=min(chunk, n2_loc)
+            )
         idx = idx + me * n2_loc  # globalize
-        # Gather all devices' candidates and merge.
+        # Gather all devices' candidates and merge: O(D * N1 * 12 B)
+        # over ICI.  The merge is branchless max/second arithmetic
+        # (same math as the Pallas kernel's cross-lane merge) — the
+        # previous argsort over D cost a bitonic sort per column.
         cands = jax.lax.all_gather(
-            jnp.stack([best, second, idx.astype(d1.dtype)], axis=-1), axis
+            jnp.stack([best, second, idx.astype(jnp.float32)], axis=-1),
+            axis,
         )  # [D, N1, 3]
         b = cands[..., 0]
         s = cands[..., 1]
         ix = cands[..., 2]
-        order = jnp.argsort(-b, axis=0)  # [D, N1] best device first
-        b_sorted = jnp.take_along_axis(b, order, axis=0)
-        ix_sorted = jnp.take_along_axis(ix, order, axis=0)
-        s_sorted = jnp.take_along_axis(s, order, axis=0)
-        g_best = b_sorted[0]
-        g_idx = ix_sorted[0].astype(jnp.int32)
-        # Global second best: max(second of winning device, best of
-        # runner-up device).
         d = b.shape[0]
-        runner = b_sorted[1] if d > 1 else jnp.full_like(g_best, _NEG)
-        g_second = jnp.maximum(s_sorted[0], runner)
+        diota = jnp.arange(d, dtype=jnp.int32)[:, None]  # [D, 1]
+        g_best = jnp.max(b, axis=0)                      # [N1]
+        garg = jnp.min(
+            jnp.where(b == g_best[None, :], diota, jnp.int32(2 ** 30)),
+            axis=0,
+        )                                                # [N1]
+        at = diota == garg[None, :]                      # [D, N1]
+        # Global second-best = max(second of the winning device, best
+        # of any other device); exact because each device's (best,
+        # second) are its true local top-2.
+        runner = jnp.max(jnp.where(at, _NEG, b), axis=0)
+        sec_at = jnp.max(jnp.where(at, s, _NEG), axis=0)
+        g_second = jnp.maximum(runner, sec_at)
+        g_idx = jnp.max(jnp.where(at, ix, -1.0), axis=0).astype(jnp.int32)
         return g_best, g_second, g_idx
 
     fn = shard_map(
@@ -90,7 +120,8 @@ def dist_match(desc1, desc2, valid1=None, valid2=None,
     if valid2 is None:
         valid2 = jnp.ones((desc2.shape[0],), bool)
     best, second, idx = dist_match_top2(
-        desc1, desc2, valid2, mesh, chunk=chunk, axis=axis
+        desc1, desc2, valid2, mesh, chunk=chunk, axis=axis,
+        use_pallas=cfg.use_pallas, bf16=cfg.bf16,
     )
     ambiguity = second / (best + 1e-6)
     ok = valid1 & (best > cfg.min_score) & (ambiguity < cfg.max_ambiguity)

@@ -75,6 +75,7 @@ def test_fit_intrinsics_recovers_f_k1(rng):
     assert abs(float(fit.k1) - K1_GT) < 0.03, float(fit.k1)
 
 
+@pytest.mark.slow
 def test_joint_ba_recovers_intrinsics_from_perturbed_init(rng):
     R, t, X, ci, pi, mask, fixed, uv = _turntable(rng)
     # Perturb poses/points; start from a 12%-wrong focal, zero k.

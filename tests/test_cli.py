@@ -17,6 +17,7 @@ DINO = pathlib.Path("/root/reference/data/dino")
 
 
 @pytest.mark.skipif(not DINO.exists(), reason="dino dataset not available")
+@pytest.mark.slow
 def test_cli_two_view(tmp_path):
     # Crop to keep the compile small; write the crops as binary PGMs the
     # loader accepts.

@@ -9,6 +9,7 @@ pipeline bit-for-bit where they share computations.
 import io
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -25,6 +26,7 @@ def _small_cfg():
     )
 
 
+@pytest.mark.slow
 def test_two_view_dump_matches_pipeline():
     img1 = jnp.asarray(
         load_gray("/root/reference/data/dino/viff.000.ppm")[40:360, 100:612]

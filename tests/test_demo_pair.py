@@ -25,6 +25,7 @@ DATA = pathlib.Path("/root/reference/CudaSift/data")
 
 
 @pytest.mark.skipif(not DATA.exists(), reason="CudaSift demo pair not available")
+@pytest.mark.slow
 def test_demo_pair_match_homography():
     img1 = load_gray(DATA / "left.pgm")
     img2 = load_gray(DATA / "righ.pgm")
@@ -61,6 +62,7 @@ def test_demo_pair_match_homography():
 
 
 @pytest.mark.skipif(not DATA.exists(), reason="CudaSift demo pair not available")
+@pytest.mark.slow
 def test_demo_pair_up_scale():
     """The 2x up-scale path at the reference's published config class.
 

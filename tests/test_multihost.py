@@ -11,6 +11,8 @@ NO reference counterpart: the reference is single-GPU
 """
 
 import pathlib
+
+import pytest
 import socket
 import subprocess
 import sys
@@ -24,6 +26,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_cpu_cluster():
     port = _free_port()
     procs = [

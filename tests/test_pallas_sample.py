@@ -4,6 +4,7 @@ code path compiles via Mosaic on TPU."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from sfm_tpu.ops import pallas_sample
 from sfm_tpu.sift import describe, orient
@@ -18,6 +19,7 @@ def _setup(rng, K=16, H=128, W=160):
     return map(jnp.asarray, (img, x, y, sc, ori))
 
 
+@pytest.mark.slow
 def test_descriptor_kernel_matches_gather_path(rng):
     img, x, y, sc, ori = _setup(rng)
     raw = pallas_sample.descriptor_sample(img, x, y, sc, ori, interpret=True)
@@ -27,6 +29,7 @@ def test_descriptor_kernel_matches_gather_path(rng):
     assert corr.min() > 0.9999, corr.min()
 
 
+@pytest.mark.slow
 def test_orientation_kernel_matches_gather_path(rng):
     img, x, y, sc, _ = _setup(rng)
     h = np.array(
@@ -73,6 +76,7 @@ def test_small_octave_image(rng):
     assert np.isfinite(np.array(h)).all()
 
 
+@pytest.mark.slow
 def test_partial_count_zero_fills_tail():
     rng = np.random.default_rng(7)
     # Slots with i >= count must come back EXACTLY zero (the kernel
@@ -95,6 +99,7 @@ def test_partial_count_zero_fills_tail():
     assert np.abs(h[:3]).sum() > 0
 
 
+@pytest.mark.slow
 def test_fused_kernel_matches_two_stage(rng):
     # The fused orientation+descriptor kernel must reproduce the
     # two-stage path: same dual peaks, same descriptors.
@@ -121,6 +126,7 @@ def test_fused_kernel_matches_two_stage(rng):
     assert (np.array(d2)[~dupm] == 0).all()
 
 
+@pytest.mark.slow
 def test_fused_kernel_count_gating(rng):
     img, x, y, sc, _ = _setup(rng, K=16)
     d1, d2, ori1, ori2, dup = pallas_sample.fused_orient_descriptor(
@@ -171,6 +177,7 @@ def test_pallas_matcher_matches_xla(rng):
     np.testing.assert_allclose(np.array(sl), np.array(s_ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_detect_maps_match_xla(rng):
     """ops/pallas_detect.detect_maps (interpret) vs the XLA dense
     detection composed from pyramid + detect internals: candidate sets
@@ -243,6 +250,7 @@ def test_fused_detect_maps_match_xla(rng):
     assert same_scale.sum() >= 0.99 * both.sum()
 
 
+@pytest.mark.slow
 def test_fused_detect_end_to_end_parity(rng):
     """extract_sift with fused_detect=True vs the XLA path on a real
     image: identical keypoint counts (up to near-tie reordering at the

@@ -36,6 +36,28 @@ def test_dist_match_equals_local(mesh, rng):
     np.testing.assert_allclose(np.array(s), np.array(s_ref), atol=1e-5)
 
 
+def test_dist_match_pallas_shard_equals_local(mesh, rng):
+    """The sharded matcher with the per-shard PALLAS kernel (interpret
+    mode on CPU) must agree with the local Pallas kernel — the TPU
+    configuration dist_match now defaults to (VERDICT r3 item 3)."""
+    from sfm_tpu.ops import pallas_match
+
+    d1 = rng.normal(size=(64, 128)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 = rng.normal(size=(1024, 128)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    b_ref, s_ref, i_ref = pallas_match.match_top2_pallas(
+        jnp.asarray(d1), jnp.asarray(d2), interpret=True
+    )
+    b, s, i = dist_match.dist_match_top2(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.ones((1024,), bool), mesh,
+        use_pallas=True,
+    )
+    np.testing.assert_allclose(np.array(b), np.array(b_ref), atol=2e-3)
+    np.testing.assert_array_equal(np.array(i), np.array(i_ref))
+    np.testing.assert_allclose(np.array(s), np.array(s_ref), atol=2e-3)
+
+
 def test_dist_match_respects_validity(mesh, rng):
     d1 = rng.normal(size=(16, 128)).astype(np.float32)
     d2 = np.concatenate([d1, d1 * 0.9])  # best match would be identity

@@ -222,6 +222,7 @@ def test_blur_bank_matmul_matches_conv():
 
 
 
+@pytest.mark.slow
 def test_detect_compact_select_matches_topk():
     # Below capacity, scan-order compaction must select the SAME
     # keypoint set as exact top-k (order may differ).
@@ -284,6 +285,7 @@ def test_scale_down_matmul_matches_conv():
     assert np.abs(a - b).max() < 1e-4, np.abs(a - b).max()
 
 
+@pytest.mark.slow
 def test_frontend_pallas_path_matches_xla_path():
     # The fused-kernel frontend (TPU path, interpret-mode on CPU) must
     # produce the same keypoints and near-identical descriptors as the

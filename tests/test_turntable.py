@@ -11,6 +11,7 @@ match survival).
 import math
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from helpers import rot
@@ -96,6 +97,7 @@ def _steps_deg(R):
     ])
 
 
+@pytest.mark.slow
 def test_turntable_poses_roundtrip():
     R, t, _ = _true_scene(np.random.default_rng(0))
     model = tt.fit_turntable(jnp.asarray(R), jnp.asarray(t),
@@ -141,6 +143,7 @@ def test_refine_turntable_recovers_collapsed_chain():
     assert float(intr[1]) < -0.05, float(intr[1])
 
 
+@pytest.mark.slow
 def test_reconstruct_turntable_end_to_end():
     """Productized driver: synthetic ring features (track-unique
     descriptors) + a collapsed chain -> recovered uniform rotation."""

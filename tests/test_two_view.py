@@ -20,6 +20,7 @@ DINO = pathlib.Path("/root/reference/data/dino")
 
 
 @pytest.mark.skipif(not DINO.exists(), reason="dino dataset not available")
+@pytest.mark.slow
 def test_dino_pair_reconstruction(tmp_path):
     img1 = jnp.asarray(load_gray(DINO / "viff.000.ppm"))
     img2 = jnp.asarray(load_gray(DINO / "viff.001.ppm"))
@@ -56,6 +57,7 @@ def test_dino_pair_reconstruction(tmp_path):
 
 
 @pytest.mark.skipif(not DINO.exists(), reason="dino dataset not available")
+@pytest.mark.slow
 def test_dino_pair_deterministic():
     img1 = jnp.asarray(load_gray(DINO / "viff.000.ppm"))
     img2 = jnp.asarray(load_gray(DINO / "viff.001.ppm"))

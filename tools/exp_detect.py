@@ -151,9 +151,6 @@ def main():
 
         ccfg = _dc.replace(cfg, select="compact")
         timeit(lambda: frontend._detect_stage(img1, ccfg, mats), "compact")
-    if want("batch2"):
-        imgs = jnp.stack([img1, img2])
-        timeit(lambda: frontend._detect_stage_batch(imgs, cfg, mats), "batch2", n=6)
     if want("prec"):
         # Matmul-blur precision ladder (MXU passes: bf16=1, f32=6-ish).
         for prec in ("BF16_BF16_F32_X3", "float32"):
