@@ -47,6 +47,22 @@ class SiftConfig:
     # counts, 0.73 -> <0.1 ms at the dino config; CPU keeps the XLA
     # path, bridged by the interpret-mode parity tests).
     fused_detect: bool | None = None
+    # Windowed-DMA sampling kernel (pallas_sample.fused_orient_
+    # descriptor_win): the atlas stays in HBM and each keypoint streams
+    # a 128-aligned [48, 256] window via async copy, replacing the
+    # full-atlas VMEM block + full-width lane rotate of the r3 kernel.
+    # None = auto (currently OFF everywhere: the r4 device A/B measured
+    # it SLOWER at the up-scale capacity class — 10.11 vs 8.77 ms — the
+    # kernel is VPU-bound on per-keypoint tent builds, not on the
+    # full-width rotate).  Kept for re-evaluation on other topologies.
+    sample_window: bool | None = None
+    # LEAN detect kernel (ops/pallas_detect.py lean=True): the dense
+    # kernel emits 11 raw refinement coefficients and the quadratic
+    # solve (divisions + exp2) runs post-top-k in XLA on the K gathered
+    # candidates only.  None = auto (lean when lowest_scale == 0, i.e.
+    # no dense scale gate is needed); False pins the r3 in-kernel
+    # refinement.
+    detect_lean: bool | None = None
     # Candidate-selection mode for detect:
     #   "topk"    exact lax.top_k (default) — strongest-first under
     #             capacity pressure;
@@ -112,8 +128,23 @@ class PipelineConfig:
     # over 2 rounds but the worst RANSAC seed goes 614 -> 833 valid
     # points / 3.0 -> 1.0 px; fewer GN iters per round (it6) cannot
     # rescue that seed (513 valid), so rounds buy what iterations
-    # cannot.
-    refine_rounds: int = 3
+    # cannot.  r4: the translation re-vote (tvote_rounds below) rescues
+    # the bad-seed tail far better than a 3rd round — the default
+    # dropped to 2 rounds + 2 votes (8-seed CPU study: min valid
+    # 688 -> 1017, max px 0.62 -> 0.49; NOTES_R4).
+    refine_rounds: int = 2
+    # Translation re-vote rounds after the refine rounds (r4): on
+    # rotation-dominant pairs the Sampson objective is flat in t, and
+    # local refinement gets stuck in valleys whose recovered pose puts
+    # hundreds of inliers behind a camera.  Each round globally
+    # searches the t-sphere for the max-cheirality direction given the
+    # best round's R (geometry.pose.cheirality_t_vote — two matmuls
+    # over a Fibonacci bank), enters the voted E as a candidate, and
+    # re-refines from the voted pose.  0 disables.
+    tvote_rounds: int = 2
+    # Size of the direction bank (1024 needed: one CPU-study seed's
+    # good basin is missed at 512 — NOTES_R4).
+    tvote_dirs: int = 1024
     # Compact correspondences to this many slots before the geometry
     # program (valid entries first).  The keypoint capacity is
     # num_octaves * 2 * max_pts_per_octave slots (10240 in the bench

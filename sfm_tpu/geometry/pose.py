@@ -100,3 +100,93 @@ def recover_pose(E, x1, x2, weights=None, *, sweeps: int = 8):
         "front": good[best],
         "finite": finite[best],
     }
+
+
+# --- translation re-vote (r4) -------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _fibonacci_sphere(m: int):
+    """[m, 3] near-uniform unit directions (golden-angle spiral)."""
+    import numpy as np
+
+    i = np.arange(m) + 0.5
+    phi = np.pi * (1.0 + 5.0 ** 0.5) * i
+    z = 1.0 - 2.0 * i / m
+    r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    return np.stack(
+        [r * np.cos(phi), r * np.sin(phi), z], -1
+    ).astype(np.float32)
+
+
+# [t]_x = sum_k t_k * _GEN[k] (generator matrices of so(3))
+_GEN = jnp.asarray(
+    [
+        [[0.0, 0.0, 0.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0]],
+        [[0.0, 0.0, 1.0], [0.0, 0.0, 0.0], [-1.0, 0.0, 0.0]],
+        [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+    ]
+)
+
+
+@functools.partial(jax.jit, static_argnames=("n_dirs",))
+def cheirality_t_vote(R, x1, x2, mask, threshold, *, n_dirs: int = 1024):
+    """Max-cheirality translation direction for a FIXED rotation.
+
+    On rotation-dominant pairs (the dino turntable; any small-baseline
+    pair) the Sampson objective is nearly flat in the translation
+    direction: poses 125 deg apart in t (but < 1 deg in R) fit the
+    epipolar constraints equally well, yet the bad ones put a third of
+    the inliers behind a camera (r4 seed study — seeds 0/4/5 lost ~380
+    of ~1070 points this way).  Local refinement cannot escape that
+    valley; this searches it globally instead.
+
+    The midpoint depths (triangulate.midpoint_depths) are LINEAR in
+    C2 = -R^T t for fixed R, so cheirality over a bank of candidate
+    directions is two [N, 3] x [3, M] matmuls; the epipolar-consistency
+    term batches through epipolar_residuals' einsums.  Everything is
+    MXU work — no data-dependent control flow.  The reference has no
+    counterpart (its choosePose tests cheirality on ONE point,
+    SfM/sfm.cu:266-301); this is what makes the TPU pipeline's
+    RANSAC+refine stable across seeds where the reference's is not.
+
+    Args:
+      R: [3, 3] rotation (the well-determined part of the pose).
+      x1, x2: [N, 3] normalized homogeneous correspondences (a
+        compacted-inlier subset is fine and ~8x cheaper).
+      mask: [N] bool rows to count.
+      threshold: epipolar residual gate (same units as RANSAC's).
+      n_dirs: size of the Fibonacci direction bank (static).
+
+    Returns dict with t [3] (the winning direction), E [3, 3]
+    (= [t]_x R, normalized to ||E|| = sqrt(2)), score (i32 count), and
+    ok [N] bool (per-point epipolar+cheirality support of the winner).
+    """
+    from sfm_tpu.geometry import epipolar
+
+    ts = jnp.asarray(_fibonacci_sphere(n_dirs))            # [M, 3]
+    # Depth-sign coefficients: z1 = A @ C2, z2 = B @ C2.
+    b = jnp.einsum("ji,nj->ni", R, x2)
+    aa = jnp.sum(x1 * x1, -1)
+    bb = jnp.sum(b * b, -1)
+    ab = jnp.sum(x1 * b, -1)
+    det = aa * bb - ab * ab
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    A = (bb[:, None] * x1 - ab[:, None] * b) / det[:, None]
+    B = (ab[:, None] * x1 - aa[:, None] * b) / det[:, None]
+    C2s = -(ts @ R)                                        # [M, 3]
+    z1 = A @ C2s.T                                         # [N, M]
+    z2 = B @ C2s.T
+    Es = jnp.einsum("mk,kij,jl->mil", ts, _GEN, R)         # [M, 3, 3]
+    Es = Es * (
+        jnp.sqrt(2.0) / jnp.linalg.norm(Es, axis=(1, 2), keepdims=True)
+    )
+    res = epipolar.epipolar_residuals(Es, x1, x2)          # [M, N]
+    ok = (res.T < threshold) & mask[:, None] & (z1 > 0) & (z2 > 0)
+    score = jnp.sum(ok, axis=0)                            # [M]
+    m = jnp.argmax(score)
+    return {
+        "t": ts[m],
+        "E": Es[m],
+        "score": score[m].astype(jnp.int32),
+        "ok": ok[:, m],
+    }

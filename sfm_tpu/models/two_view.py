@@ -101,30 +101,34 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
     R_cur, t_cur = p["R"], p["t"]
     w = res.inliers
     best = None
+
+    def consider(cand, best):
+        if best is None:
+            return cand
+        take = cand[0] > best[0]
+        return tuple(jnp.where(take, c, b) for c, b in zip(cand, best))
+
+    def score_E(E, R2, t2):
+        """Full-set round score: epipolar inliers that also pass the
+        closed-form midpoint cheirality test at (R2, t2) — ~10 ops per
+        point instead of the 4x N DLT solves of a full recover_pose;
+        only the WINNING candidate pays for the full triangulation
+        (below)."""
+        E_n = E * (jnp.sqrt(2.0) / jnp.linalg.norm(E))
+        r = epipolar.epipolar_residuals(E_n, x1, x2)
+        inl = (r < rc.threshold) & mask
+        z1, z2 = tri.midpoint_depths(x1, x2, R2, t2)
+        valid_k = inl & (z1 > 0) & (z2 > 0)
+        return inl, valid_k, jnp.sum(valid_k).astype(jnp.int32)
+
     for _round in range(max(cfg.refine_rounds, 1)):
         ref = refine.refine_relative_pose(
             R_cur, t_cur, x1, x2, weights=w, iters=cfg.refine_iters,
         )
-        # Branch vote on the subset; full-set cheirality for the round
-        # score and the next round's weights comes from the closed-form
-        # two-ray midpoint depths (~10 ops/point) instead of the 4x N
-        # DLT solves of a full recover_pose — only the WINNING round
-        # pays for the full triangulation (below).
+        # Branch vote on the subset; full-set scoring via score_E.
         p2 = pose.recover_pose(ref.E, x1v, x2v, weights=wv)
-        E_n = ref.E * (jnp.sqrt(2.0) / jnp.linalg.norm(ref.E))
-        r = epipolar.epipolar_residuals(E_n, x1, x2)
-        inl = (r < rc.threshold) & mask
-        z1, z2 = tri.midpoint_depths(x1, x2, p2["R"], p2["t"])
-        valid_k = inl & (z1 > 0) & (z2 > 0)
-        score = jnp.sum(valid_k).astype(jnp.int32)
-        cand = (score, ref.E, inl)
-        if best is None:
-            best = cand
-        else:
-            take = score > best[0]
-            best = tuple(
-                jnp.where(take, c, b) for c, b in zip(cand, best)
-            )
+        inl, valid_k, score = score_E(ref.E, p2["R"], p2["t"])
+        best = consider((score, ref.E, inl, p2["R"], p2["t"]), best)
         R_cur, t_cur = p2["R"], p2["t"]
         # Cheirality-consistent inliers drive the next refinement: on
         # the bas-relief ridge the plain epipolar inliers can pull the
@@ -132,7 +136,29 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
         # camera (r3 seed study, NOTES_R3).
         w = valid_k
 
-    _, E_fin, inl = best
+    # Translation re-vote rounds (r4): local refinement cannot leave a
+    # Sampson-flat valley whose pose buries a third of the inliers
+    # behind a camera (rotation-dominant pairs).  Globally re-vote the
+    # translation direction for the best R (pose.cheirality_t_vote),
+    # enter the voted E as a candidate, and re-refine from the voted
+    # pose — the 8-seed CPU study (NOTES_R4) takes the worst seed from
+    # 688 to >= 1017 valid points.
+    maskv = wv > 0
+    for _vr in range(cfg.tvote_rounds):
+        Rb = best[3]
+        vote = pose.cheirality_t_vote(
+            Rb, x1v, x2v, maskv, rc.threshold, n_dirs=cfg.tvote_dirs,
+        )
+        inl_s, valid_s, score_s = score_E(vote["E"], Rb, vote["t"])
+        best = consider((score_s, vote["E"], inl_s, Rb, vote["t"]), best)
+        ref = refine.refine_relative_pose(
+            Rb, vote["t"], x1, x2, weights=valid_s, iters=cfg.refine_iters,
+        )
+        p2 = pose.recover_pose(ref.E, x1v, x2v, weights=wv)
+        inl, valid_k, score = score_E(ref.E, p2["R"], p2["t"])
+        best = consider((score, ref.E, inl, p2["R"], p2["t"]), best)
+
+    _, E_fin, inl, _, _ = best
     # Full recover_pose on the winner: final branch vote over every
     # point + the output triangulation (reference linear_triangulation,
     # SfM/sfm.cu:309-344).

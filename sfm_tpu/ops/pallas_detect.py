@@ -48,7 +48,8 @@ _PAD = 8    # halo: radius 4 + NMS/refine 1, rounded to the sublane tile
 
 
 def _make_kernel(TH: int, TW: int, W: int, H: int, S: int,
-                 taps, thresh: float, edge_limit: float, scale_gate: float):
+                 taps, thresh: float, edge_limit: float, scale_gate: float,
+                 lean: bool = False):
     n_planes = S + 3
 
     def kernel(base_hbm, resp_ref, aux_ref, slab_ref, sem):
@@ -110,7 +111,8 @@ def _make_kernel(TH: int, TW: int, W: int, H: int, S: int,
         )
 
         best = jnp.full((TH, TW), -1.0, jnp.float32)
-        sel = [jnp.zeros((TH, TW), jnp.float32) for _ in range(6)]
+        sel = [jnp.zeros((TH, TW), jnp.float32)
+               for _ in range(11 if lean else 6)]
         for s in range(1, S + 1):
             c = dog[s]
             val = sub(c, 0, 0)
@@ -162,6 +164,29 @@ def _make_kernel(TH: int, TW: int, W: int, H: int, S: int,
             dy = 0.5 * (yp - ym)
             ds = 0.5 * (sm - sp)
 
+            if lean:
+                # Division-free edge gate (equivalent to
+                # 0 < tra^2/det < limit with the 1e-20 denominator
+                # guard); the quadratic solve, its divisions, and the
+                # exp2 scale computation run post-top-k in XLA on the
+                # K gathered candidates (detect.select_from_maps) —
+                # they were ~40% of this kernel's per-pixel VPU work.
+                tra = dxx + dyy
+                det = dxx * dyy - dxy * dxy
+                t2 = tra * tra
+                cand = cand & (det > 0.0) & (t2 > 0.0) & (
+                    t2 < jnp.float32(edge_limit) * det
+                )
+                resp = jnp.where(cand, jnp.abs(val), -1.0)
+                take = resp > best
+                best = jnp.where(take, resp, best)
+                for q, v in enumerate(
+                    (jnp.full((TH, TW), np.float32(s - 1)), val, dx, dy,
+                     ds, dxx, dyy, dss, dxy, dxs, dys)
+                ):
+                    sel[q] = jnp.where(take, v, sel[q])
+                continue
+
             tra = dxx + dyy
             det = dxx * dyy - dxy * dxy
             edge = tra * tra / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
@@ -205,7 +230,7 @@ def _make_kernel(TH: int, TW: int, W: int, H: int, S: int,
                 sel[q] = jnp.where(take, v, sel[q])
 
         resp_ref[...] = best
-        for q in range(6):
+        for q in range(len(sel)):
             aux_ref[q, :, :] = sel[q]
 
     return kernel
@@ -215,25 +240,36 @@ def _make_kernel(TH: int, TW: int, W: int, H: int, S: int,
     jax.jit,
     static_argnames=(
         "n_scales", "thresh", "edge_limit", "scale_gate", "taps",
-        "tile_rows", "tile_cols", "interpret",
+        "tile_rows", "tile_cols", "interpret", "lean",
     ),
 )
 def detect_maps(base, *, taps, n_scales: int, thresh: float,
                 edge_limit: float, scale_gate: float, tile_rows: int = 32,
-                tile_cols: int = 1024, interpret: bool = False):
+                tile_cols: int = 1024, interpret: bool = False,
+                lean: bool | None = None):
     """Fused dense detection maps for one octave base.
 
     base: [H, W] f32 octave base image.  taps: static nested tuple
     [S+3][9] of blur taps (pyramid.octave_kernel_bank as a tuple).
 
-    Returns (resp [H, W], aux [6, H, W]) where resp is the candidate
+    Returns (resp [H, W], aux [C, H, W]) where resp is the candidate
     response (|DoG| at the strongest passing scale, -1 where no
-    candidate) and aux stacks (s, dx, dy, ds, sharpness, edgeness) at
-    that scale — the select/top-k stage consumes them
-    (sift.detect.select_from_maps).
+    candidate).  lean=None (auto) picks the LEAN kernel when
+    scale_gate <= 0: aux has C=11 raw refinement coefficients
+    (s, val, dx, dy, ds, dxx, dyy, dss, dxy, dxs, dys) and the
+    quadratic solve (divisions + exp2, ~40% of the dense per-pixel
+    work) moves to the top-k tail (detect.select_from_maps).  With
+    lean=False aux keeps the r3 layout: C=6
+    (s, dx, dy, ds, sharpness, edgeness) refined in-kernel — required
+    when scale_gate > 0 (the gate needs the refined scale densely).
     """
     H, W = base.shape
     S = n_scales
+    if lean is None:
+        lean = scale_gate <= 0.0
+    if lean and scale_gate > 0.0:
+        raise ValueError("lean detect kernel cannot apply scale_gate")
+    C = 11 if lean else 6
     TH = tile_rows
     TW = min(tile_cols, -(-W // 128) * 128)
     ny = -(-H // TH)
@@ -244,18 +280,18 @@ def detect_maps(base, *, taps, n_scales: int, thresh: float,
         mode="edge",
     )
     kernel = _make_kernel(TH, TW, W, H, S, taps, thresh, edge_limit,
-                          scale_gate)
+                          scale_gate, lean=lean)
     resp, aux = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((ny * TH, nx * TW), jnp.float32),
-            jax.ShapeDtypeStruct((6, ny * TH, nx * TW), jnp.float32),
+            jax.ShapeDtypeStruct((C, ny * TH, nx * TW), jnp.float32),
         ),
         grid=(ny, nx),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((TH, TW), lambda i, j: (i, j)),
-            pl.BlockSpec((6, TH, TW), lambda i, j: (0, i, j)),
+            pl.BlockSpec((C, TH, TW), lambda i, j: (0, i, j)),
         ),
         scratch_shapes=[
             pltpu.VMEM((TH + 16, TW + 128), jnp.float32),

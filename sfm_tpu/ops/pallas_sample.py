@@ -82,6 +82,34 @@ _W2D_COL = (
 _W2D_ROW = np.ascontiguousarray(_W2D_COL.reshape(1, 256))
 
 
+def _wsp16() -> np.ndarray:
+    """[256, 16] spatial cell weights: sample s = j*16+i -> cell
+    sp = cy*4+cx with weight W1[j,cy]*W1[i,cx] (the angle factor is
+    applied elementwise per bin; see _desc_post_wide)."""
+    W1 = _spatial_weight_matrix()
+    W = np.zeros((256, 16), np.float32)
+    for j in range(16):
+        for i in range(16):
+            for cy in range(4):
+                for cx in range(4):
+                    W[j * 16 + i, cy * 4 + cx] = W1[j, cy] * W1[i, cx]
+    return W
+
+
+def _perm_a16() -> np.ndarray:
+    """[128, 128] static permutation: column a*16+sp of the per-bin
+    concatenation -> descriptor bin q = sp*8 + a."""
+    P = np.zeros((128, 128), np.float32)
+    for a in range(8):
+        for sp in range(16):
+            P[a * 16 + sp, sp * 8 + a] = 1.0
+    return P
+
+
+_WSP16 = _wsp16()
+_PERM_A16 = _perm_a16()
+
+
 def _atan2(y, x):
     """Branchless polynomial atan2 (Mosaic has no atan2 lowering).
 
@@ -180,22 +208,19 @@ def _sample_matmul_wide(patch, px, py, P, precision=None):
     return jnp.sum(tmp * B, axis=0, keepdims=True)   # [1, S]
 
 
-def _descriptor_from_patch_wide(patch, w2dw_ref, wspt_ref, fx, fy,
-                                cosa, sina, scale):
+def _descriptor_from_patch_wide(patch, w2dw_ref, wsp16_ref, perm_ref,
+                                fx, fy, cosa, sina, scale):
     """One unnormalized [1, 128] descriptor from an existing patch.
 
     Wide layout (samples in LANES): the [1024]-sample stage runs as a
-    [P, rows]x[rows, 1024] matmul, all elementwise math on [1, 256]
-    rows at full lane utilization, and the 8-bin orientation histogram
-    as a [1, 256]x[256->128] dot_general over a data-dependent one-hot
-    built directly in the [128, 256] output layout (a [16, 8]-shaped
-    hist + reshape crashes the Mosaic compiler, measured r2).
-    w2dw_ref: [1, 256] Gaussian window row; wspt_ref: [128, 256]
-    transposed spatial weights.  Mirrors cudaSiftD.cu:308-417.
+    [P, rows]x[rows, 1024] matmul and the binning as the batched
+    masked matmuls of _desc_post_wide.  w2dw_ref: [1, 256] Gaussian
+    window row; wsp16_ref: [256, 16] spatial cell weights; perm_ref:
+    [128, 128] bin permutation.  Mirrors cudaSiftD.cu:308-417.
     """
     return _desc_post_wide(
         _desc_sample_wide(patch, fx, fy, cosa, sina, scale),
-        w2dw_ref, wspt_ref,
+        w2dw_ref, wsp16_ref, perm_ref,
     )
 
 
@@ -218,15 +243,18 @@ def _desc_sample_wide(patch, fx, fy, cosa, sina, scale):
     return _sample_matmul_wide(patch, bx + gx, by + gy, P)
 
 
-def _desc_post_wide(vals, w2dw_ref, wspt_ref):
+def _desc_post_wide(vals, w2dw_ref, wsp16_ref, perm_ref):
     """Descriptor post-processing: [B, 1024] sample values -> [B, 128].
 
-    Everything elementwise is batched over B rows (full sublane
-    utilization — the B=1 row form wastes 7/8 of each VPU issue); only
-    the per-keypoint histogram contraction, whose one-hot depends on
-    the row's angles, loops.
+    Fully batched over keypoints (r4): for each of the 8 angle bins the
+    bin's soft weight is an elementwise mask on the [B, 256] grads and
+    the spatial binning is ONE keypoint-batched [B, 256] x [256, 16]
+    matmul; a static [128, 128] permutation matmul interleaves the
+    a-major concatenation into q = sp*8 + a order.  The r2/r3 form
+    built two data-dependent [128, 256] one-hots PER KEYPOINT (~64
+    vregs x ~5 passes x B per block — it dominated the fused kernel's
+    VPU time; device A/B r4: sample stage 8.8 -> see NOTES_R4).
     """
-    B = vals.shape[0]
     dx = vals[:, 0:256] - vals[:, 256:512]    # [B, 256]
     dy = vals[:, 512:768] - vals[:, 768:1024]
     grad = w2dw_ref[:, :] * jnp.sqrt(dx * dx + dy * dy)  # [B, 256]
@@ -234,34 +262,37 @@ def _desc_post_wide(vals, w2dw_ref, wspt_ref):
     angi = jnp.clip(jnp.floor(ang), 0.0, 7.0)
     angf = ang - angi
     angi2 = jnp.where(angi + 1.0 > 7.0, 0.0, angi + 1.0)
-    a128 = (
-        jax.lax.broadcasted_iota(jnp.int32, (128, 256), 0) % 8
-    ).astype(jnp.float32)
-    rows = []
-    for k in range(B):
-        angw = jnp.where(a128 == angi[k:k + 1, :], 1.0 - angf[k:k + 1, :],
-                         0.0) + jnp.where(a128 == angi2[k:k + 1, :],
-                                          angf[k:k + 1, :], 0.0)
-        # [128, 256]: output bin q = sp*8 + a in rows, samples in lanes
-        Z = wspt_ref[:, :] * angw
-        rows.append(jax.lax.dot_general(
-            grad[k:k + 1, :], Z, _DN_LANE, preferred_element_type=jnp.float32
-        ))
-    return rows[0] if B == 1 else jnp.concatenate(rows, axis=0)  # [B, 128]
+    dn = (((1,), (0,)), ((), ()))
+    cols = []
+    for a in range(8):
+        af = jnp.float32(a)
+        wa = (
+            jnp.where(angi == af, 1.0 - angf, 0.0)
+            + jnp.where(angi2 == af, angf, 0.0)
+        )
+        cols.append(jax.lax.dot_general(
+            grad * wa, wsp16_ref[:, :], dn,
+            preferred_element_type=jnp.float32,
+        ))                                    # [B, 16]
+    cat = jnp.concatenate(cols, axis=1)       # [B, 128], a-major
+    return jax.lax.dot_general(
+        cat, perm_ref[:, :], dn, preferred_element_type=jnp.float32
+    )                                         # [B, 128], q = sp*8 + a
 
 
-def _descriptor_one(img_ref, w2dw_ref, wspt_ref, x0, y0, fx, fy, cosa, sina,
-                    scale):
+def _descriptor_one(img_ref, w2dw_ref, wsp16_ref, perm_ref, x0, y0, fx, fy,
+                    cosa, sina, scale):
     """One unnormalized [1, 128] descriptor row (loads its own patch)."""
     patch, dy_off = _load_patch(img_ref, x0, y0, DESC_P)
     return _descriptor_from_patch_wide(
-        patch, w2dw_ref, wspt_ref, fx, fy + dy_off, cosa, sina, scale
+        patch, w2dw_ref, wsp16_ref, perm_ref, fx, fy + dy_off, cosa, sina,
+        scale
     )
 
 
 def _make_descriptor_kernel(block_k: int):
     def kernel(count_ref, x0_ref, y0_ref, fx_ref, fy_ref, ca_ref, sa_ref,
-               sc_ref, img_ref, w2d_ref, wsp_ref, out_ref):
+               sc_ref, img_ref, w2d_ref, wsp_ref, perm_ref, out_ref):
         kb = pl.program_id(0)
         # Zero the whole block first: slots past `count` must not leave
         # uninitialized VMEM in the output (0 * NaN = NaN downstream).
@@ -272,8 +303,9 @@ def _make_descriptor_kernel(block_k: int):
             @pl.when(i < count_ref[0])
             def _():
                 d = _descriptor_one(
-                    img_ref, w2d_ref, wsp_ref, x0_ref[i], y0_ref[i],
-                    fx_ref[i], fy_ref[i], ca_ref[i], sa_ref[i], sc_ref[i],
+                    img_ref, w2d_ref, wsp_ref, perm_ref, x0_ref[i],
+                    y0_ref[i], fx_ref[i], fy_ref[i], ca_ref[i], sa_ref[i],
+                    sc_ref[i],
                 )
                 out_ref[k, :] = d[0, :]
 
@@ -310,13 +342,13 @@ def descriptor_sample(img, x, y, scale, orientation_deg, count=None, *,
         _make_descriptor_kernel(block_k),
         out_shape=jax.ShapeDtypeStruct((K, 128), jnp.float32),
         grid=(K // block_k,),
-        in_specs=[smem] * 8 + [vmem] * 3,
+        in_specs=[smem] * 8 + [vmem] * 4,
         out_specs=pl.BlockSpec(
             (block_k, 128), lambda kb: (kb, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(count, x0, y0, fx, fy, cosa, sina, scale, img,
-      jnp.asarray(_W2D_ROW), jnp.asarray(_W_SPATIAL_128_T))
+      jnp.asarray(_W2D_ROW), jnp.asarray(_WSP16), jnp.asarray(_PERM_A16))
     return out
 
 
@@ -482,7 +514,7 @@ def _make_fused_kernel(block_k: int):
     3.9 -> 1.1 ms on the 2048-slot dino workload (r2).
     """
     def kernel(count_ref, x0_ref, y0_ref, fx_ref, fy_ref, sc_ref, i2_ref,
-               img_ref, w2d_ref, wsp_ref, smp_ref,
+               img_ref, w2d_ref, wsp_ref, perm_ref, smp_ref,
                out_d1, out_d2, out_aux):
         kb = pl.program_id(0)
         out_d1[:, :] = jnp.zeros_like(out_d1)
@@ -556,7 +588,7 @@ def _make_fused_kernel(block_k: int):
                 ))
             vals = jnp.concatenate(vrows, axis=0)          # [B, 1024]
             # --- phase 4: batched descriptor post ---
-            out_d1[:, :] = _desc_post_wide(vals, w2d_ref, wsp_ref) * vmask
+            out_d1[:, :] = _desc_post_wide(vals, w2d_ref, wsp_ref, perm_ref) * vmask
 
             # --- phase 5: gated second-peak descriptors (rare) ---
             for k in range(block_k):
@@ -565,7 +597,8 @@ def _make_fused_kernel(block_k: int):
                 @pl.when((dup[k, 0] > 0) & (i < count_ref[0]))
                 def _(k=k, i=i):
                     d2 = _descriptor_from_patch_wide(
-                        patches[k], w2d_ref, wsp_ref, fxs[k], fys[k],
+                        patches[k], w2d_ref, wsp_ref, perm_ref, fxs[k],
+                        fys[k],
                         jnp.cos(ori2[k:k + 1, :] * rad),
                         jnp.sin(ori2[k:k + 1, :] * rad), sc_ref[i],
                     )
@@ -614,11 +647,11 @@ def fused_orient_descriptor(img, x, y, scale, count=None, *,
         _make_fused_kernel(block_k),
         out_shape=out_shapes,
         grid=(K // block_k,),
-        in_specs=[smem] * 7 + [vmem] * 4,
+        in_specs=[smem] * 7 + [vmem] * 5,
         out_specs=out_specs,
         interpret=interpret,
     )(count, x0, y0, fx, fy, scale, inv2s2, img,
-      jnp.asarray(_W2D_ROW), jnp.asarray(_W_SPATIAL_128_T),
+      jnp.asarray(_W2D_ROW), jnp.asarray(_WSP16), jnp.asarray(_PERM_A16),
       jnp.asarray(_smooth_peak_matrices()))
     return d1, d2, aux[:, 0], aux[:, 1], aux[:, 2] > 0.5
 
@@ -630,3 +663,208 @@ def fused_orient_descriptor(img, x, y, scale, count=None, *,
 # 8x zero-padding waste in the big matmuls and the larger iota/VPU
 # builds outweigh the per-op overhead they amortize.  v1 runs at
 # ~1.4 us/keypoint amortized; it was removed after benchmarking.
+
+
+# ---------------------------------------------------------------------------
+# Windowed-DMA fused kernel (r4).
+#
+# The r2/r3 fused kernel holds the whole octave ATLAS as one VMEM block
+# and extracts each patch with a FULL-WIDTH lane rotate
+# (pltpu.roll on [48, W]): at the up-scale capacity class the atlas is
+# [4200, 2560] (43 MB — far beyond scoped VMEM) and every keypoint
+# shuffles a [48, 2560] slab to isolate 40 columns.  Here the atlas
+# stays in HBM; each keypoint asynchronously DMAs only a 128-aligned
+# [48, 256] window into VMEM scratch (all block_k copies issued before
+# the first is consumed, so the DMA engine runs ahead of the VPU), and
+# the roll shrinks to 256 lanes.  HBM traffic: 49 KB/keypoint.
+# ---------------------------------------------------------------------------
+
+_WIN = 256  # DMA window width: 128 (alignment) + patch 40, padded to 2 regs
+
+
+def _make_fused_kernel_win(block_k: int):
+    """Windowed-DMA variant of _make_fused_kernel: identical math, but
+    patches arrive via per-keypoint async copies from HBM instead of
+    full-width rotates of a VMEM-resident atlas."""
+
+    def kernel(count_ref, xa_ref, ya_ref, dxc_ref, fx_ref, fy_ref, sc_ref,
+               i2_ref, img_hbm, w2d_ref, wsp_ref, perm_ref, smp_ref,
+               out_d1, out_d2, out_aux, slab_ref, sem_ref):
+        kb = pl.program_id(0)
+        out_d1[:, :] = jnp.zeros_like(out_d1)
+        out_d2[:, :] = jnp.zeros_like(out_d2)
+        out_aux[:, :] = jnp.zeros_like(out_aux)
+
+        @pl.when(kb * block_k < count_ref[0])
+        def _():
+            rows_n = DESC_P + 8
+
+            def win_src(i):
+                # Alignment facts Mosaic cannot infer from SMEM scalars:
+                # ya is 8-aligned (sublane tile), xa 128-aligned (lane).
+                ya = pl.multiple_of(ya_ref[i], 8)
+                xa = pl.multiple_of(xa_ref[i], 128)
+                return img_hbm.at[pl.ds(ya, rows_n), pl.ds(xa, _WIN)]
+
+            # Issue every patch copy up front: the per-keypoint
+            # orientation/descriptor dots of keypoint k hide the DMA
+            # latency of keypoints k+1.. (the queue drains in order).
+            for k in range(block_k):
+                i = kb * block_k + k
+                pltpu.make_async_copy(
+                    win_src(i), slab_ref.at[k], sem_ref.at[k],
+                ).start()
+
+            # --- phase 1: per-keypoint patch crops + orientation dots ---
+            patches = []
+            fxs = []
+            fys = []
+            orows = []
+            i2rows = []
+            for k in range(block_k):
+                i = kb * block_k + k
+                pltpu.make_async_copy(
+                    win_src(i), slab_ref.at[k], sem_ref.at[k],
+                ).wait()
+                win = slab_ref[k]
+                rolled = pltpu.roll(
+                    win, shift=jax.lax.rem(_WIN - dxc_ref[i], _WIN), axis=1
+                )
+                patches.append(rolled[:, :DESC_P])
+                fxs.append(fx_ref[i])
+                fys.append(fy_ref[i])
+                orows.append(_orient_sample_wide(patches[k], fxs[k], fys[k],
+                                                 DESC_P))
+                i2rows.append(jnp.full((1, 1), i2_ref[i], jnp.float32))
+            ovals = jnp.concatenate(orows, axis=0)         # [B, 484]
+            # --- phase 2: batched orientation post + dual peaks ---
+            h = _orient_post_wide(ovals, jnp.concatenate(i2rows, axis=0))
+            hlr = jnp.dot(h, smp_ref[:, :],
+                          preferred_element_type=jnp.float32)  # [B, 96]
+            hs = hlr[:, 0:32]
+            left = hlr[:, 32:64]
+            right = hlr[:, 64:96]
+            is_peak = (hs > left) & (hs >= right)
+            pv = jnp.where(is_peak, hs, 0.0)
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 32), 1
+            ).astype(jnp.float32)
+            m1 = jnp.max(pv, axis=1, keepdims=True)        # [B, 1]
+            i1 = jnp.min(jnp.where(pv == m1, iota, 99.0), axis=1,
+                         keepdims=True)
+            pv2 = jnp.where(iota == i1, 0.0, pv)
+            m2 = jnp.max(pv2, axis=1, keepdims=True)
+            i2 = jnp.min(jnp.where(pv2 == m2, iota, 99.0), axis=1,
+                         keepdims=True)
+            ori1 = jnp.where(m1 > 0, _peak_angle(hs, i1), 0.0)  # [B, 1]
+            ori2 = jnp.where(m2 > 0, _peak_angle(hs, i2), 0.0)
+            dup = jnp.where((m2 > 0.8 * m1) & (m2 > 0), 1.0, 0.0)
+            slot = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0) \
+                + kb * block_k
+            vmask = (slot < count_ref[0]).astype(jnp.float32)   # [B, 1]
+
+            aux8 = jax.lax.broadcasted_iota(jnp.int32, (block_k, 8), 1)
+            out_aux[:, :] = (
+                jnp.where(aux8 == 0, ori1, 0.0)
+                + jnp.where(aux8 == 1, ori2, 0.0)
+                + jnp.where(aux8 == 2, dup, 0.0)
+            ) * vmask
+
+            # --- phase 3: per-keypoint descriptor dots at peak 1 ---
+            rad = jnp.float32(2.0 * np.pi / 360.0)
+            ca = jnp.cos(ori1 * rad)
+            sa = jnp.sin(ori1 * rad)
+            vrows = []
+            for k in range(block_k):
+                i = kb * block_k + k
+                vrows.append(_desc_sample_wide(
+                    patches[k], fxs[k], fys[k],
+                    ca[k:k + 1, :], sa[k:k + 1, :], sc_ref[i],
+                ))
+            vals = jnp.concatenate(vrows, axis=0)          # [B, 1024]
+            # --- phase 4: batched descriptor post ---
+            out_d1[:, :] = _desc_post_wide(vals, w2d_ref, wsp_ref, perm_ref) * vmask
+
+            # --- phase 5: gated second-peak descriptors (rare) ---
+            for k in range(block_k):
+                i = kb * block_k + k
+
+                @pl.when((dup[k, 0] > 0) & (i < count_ref[0]))
+                def _(k=k, i=i):
+                    d2 = _descriptor_from_patch_wide(
+                        patches[k], w2d_ref, wsp_ref, perm_ref, fxs[k],
+                        fys[k],
+                        jnp.cos(ori2[k:k + 1, :] * rad),
+                        jnp.sin(ori2[k:k + 1, :] * rad), sc_ref[i],
+                    )
+                    out_d2[k, :] = d2[0, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def fused_orient_descriptor_win(img, x, y, scale, count=None, *,
+                                block_k: int = 8, interpret: bool = False):
+    """Windowed-DMA fused orientation + dual-peak descriptors.
+
+    Same contract as fused_orient_descriptor; the atlas stays in HBM
+    and each keypoint streams a [48, 256] window via async copy.
+    """
+    K = x.shape[0]
+    P = DESC_P
+    rows_n = P + 8
+    # Same padded geometry as the VMEM-atlas kernel (identical border
+    # clamps -> bit-identical outputs), then widen to the DMA window.
+    img = _pad_for_kernel(img, P)
+    if img.shape[1] < _WIN:
+        img = jnp.pad(img, ((0, 0), (0, _WIN - img.shape[1])), mode="edge")
+    Hp, Wp = img.shape
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32) - P // 2 + 1, 0,
+                  max(Wp - P, 0))
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32) - P // 2 + 1, 0,
+                  max(Hp - P, 0))
+    # 128-aligned window column / 8-aligned window row; the fractional
+    # coordinates are relative to the post-roll patch origin (x0) and
+    # the aligned row start (ya).
+    xa = jnp.clip((x0 // 128) * 128, 0, max(Wp - _WIN, 0))
+    dxc = x0 - xa
+    ya = jnp.clip((y0 // 8) * 8, 0, max(Hp - rows_n, 0))
+    fx = x - x0.astype(jnp.float32)
+    fy = y - ya.astype(jnp.float32)
+    inv2s2 = -1.0 / (2.0 * (1.5 * scale) ** 2)
+    if count is None:
+        count = jnp.asarray([K], jnp.int32)
+    else:
+        count = jnp.asarray(count, jnp.int32).reshape(1)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((K, 128), jnp.float32),
+        jax.ShapeDtypeStruct((K, 128), jnp.float32),
+        jax.ShapeDtypeStruct((K, 8), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((block_k, 128), lambda kb: (kb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_k, 128), lambda kb: (kb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_k, 8), lambda kb: (kb, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    d1, d2, aux = pl.pallas_call(
+        _make_fused_kernel_win(block_k),
+        out_shape=out_shapes,
+        grid=(K // block_k,),
+        in_specs=[smem] * 8 + [pl.BlockSpec(memory_space=pltpu.ANY)]
+        + [vmem] * 4,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((block_k, rows_n, _WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((block_k,)),
+        ],
+        interpret=interpret,
+    )(count, xa, ya, dxc, fx, fy, scale, inv2s2, img,
+      jnp.asarray(_W2D_ROW), jnp.asarray(_WSP16), jnp.asarray(_PERM_A16),
+      jnp.asarray(_smooth_peak_matrices()))
+    return d1, d2, aux[:, 0], aux[:, 1], aux[:, 2] > 0.5

@@ -125,7 +125,18 @@ def _refine_dense(dog, n_scales: int):
     dx = 0.5 * (xp - xm)
     dy = 0.5 * (yp - ym)
     ds = 0.5 * (sm - sp)
+    pdx, pdy, pds, sharp, edge = refine_from_coeffs(
+        val, dx, dy, ds, dxx, dyy, dss, dxy, dxs, dys
+    )
+    return jnp.stack([pdx, pdy, pds, sharp, edge])  # [5, S, H, W]
 
+
+def refine_from_coeffs(val, dx, dy, ds, dxx, dyy, dss, dxy, dxs, dys):
+    """Closed-form 3D quadratic refinement from finite-difference
+    coefficients (CudaSift/cudaSiftD.cu:1383-1415): returns (pdx, pdy,
+    pds, sharpness, edge).  Shared by the dense XLA path and the lean
+    fused-kernel path, where the dense kernel emits the coefficients
+    and this runs on the top-k gathered candidates only."""
     tra = dxx + dyy
     det = dxx * dyy - dxy * dxy
     edge = tra * tra / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
@@ -155,7 +166,7 @@ def _refine_dense(dog, n_scales: int):
     pdy = jnp.clip(pdy, -1.0, 1.0)
     pds = jnp.clip(pds, -1.0, 1.0)
     dval = 0.5 * (dx * pdx + dy * pdy + ds * pds)
-    return jnp.stack([pdx, pdy, pds, val + dval, edge])  # [5, S, H, W]
+    return pdx, pdy, pds, val + dval, edge
 
 
 def _topk_2level(flat_resp, k: int, block: int = 8):
@@ -185,9 +196,14 @@ def select_from_maps(resp_px, aux, cfg: SiftConfig) -> Detections:
 
     resp_px: [H, W] candidate response (-1 where no candidate);
     aux: [6, H, W] stacking (s, dx, dy, ds, sharpness, edgeness) at the
-    selected scale.  Mirrors detect()'s selection tail; consumed by the
-    fused Pallas dense stage (ops/pallas_detect.py) which produces the
-    maps without materializing the DoG volume in HBM.
+    selected scale, OR [11, H, W] of raw refinement coefficients
+    (s, val, dx, dy, ds, dxx, dyy, dss, dxy, dxs, dys) from the LEAN
+    kernel — there the quadratic solve runs HERE on the K gathered
+    candidates instead of densely at every pixel (r4: the dense
+    divisions/exp2 were ~40% of the detect kernel's per-pixel work).
+    Mirrors detect()'s selection tail; consumed by the fused Pallas
+    dense stage (ops/pallas_detect.py) which produces the maps without
+    materializing the DoG volume in HBM.
     """
     S = cfg.num_scales
     K = cfg.max_pts_per_octave
@@ -208,8 +224,13 @@ def select_from_maps(resp_px, aux, cfg: SiftConfig) -> Detections:
     if k_eff < K:
         scores = jnp.pad(scores, (0, K - k_eff), constant_values=-1.0)
         flat_idx = jnp.pad(flat_idx, (0, K - k_eff))
-    vals = jnp.take(aux.reshape(6, -1), flat_idx, axis=1)  # [6, K]
-    s_sel, pdx, pdy, pds, sharp, edge = vals
+    nc = aux.shape[0]
+    vals = jnp.take(aux.reshape(nc, -1), flat_idx, axis=1)  # [nc, K]
+    if nc == 11:
+        s_sel = vals[0]
+        pdx, pdy, pds, sharp, edge = refine_from_coeffs(*vals[1:])
+    else:
+        s_sel, pdx, pdy, pds, sharp, edge = vals
     y_idx = flat_idx // W
     x_idx = flat_idx % W
     return Detections(
@@ -239,6 +260,7 @@ def detect_fused(base, taps, cfg: SiftConfig, subsampling: float,
         edge_limit=float(cfg.edge_limit),
         scale_gate=float(cfg.lowest_scale / subsampling),
         interpret=interpret,
+        lean=cfg.detect_lean,
     )
     return select_from_maps(resp, aux, cfg)
 

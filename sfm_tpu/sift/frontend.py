@@ -266,7 +266,14 @@ def _sample_stage(atlas, offsets, subs, dets, cfg: SiftConfig,
 
         # interpret mode when the backend is CPU (tests force
         # use_pallas=True there); Mosaic-compiled on TPU.
-        d1, d2, ori1, ori2, dup = pallas_sample.fused_orient_descriptor(
+        # sample_window auto = OFF: the windowed-DMA kernel measured
+        # SLOWER on device (10.11 vs 8.77 ms at up_t2.0, r4 A/B via
+        # tools/exp_sample_win.py) — the kernel is VPU-bound on the
+        # per-keypoint tent builds, not the full-width rotate.
+        fused_fn = (pallas_sample.fused_orient_descriptor_win
+                    if cfg.sample_window
+                    else pallas_sample.fused_orient_descriptor)
+        d1, d2, ori1, ori2, dup = fused_fn(
             atlas, x_a, y_a, sc_a, count=jnp.sum(valid_a, dtype=jnp.int32),
             interpret=jax.default_backend() == "cpu",
         )

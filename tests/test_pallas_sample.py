@@ -226,6 +226,7 @@ def test_fused_detect_maps_match_xla(rng):
     kresp, kaux = pallas_detect.detect_maps(
         octave.base, taps=taps_t, n_scales=S, thresh=float(cfg.thresh),
         edge_limit=float(cfg.edge_limit), scale_gate=0.0, interpret=True,
+        lean=False,  # pin the in-kernel-refined aux layout this test reads
     )
     kresp = np.asarray(kresp)
     kaux = np.asarray(kaux)
@@ -248,6 +249,23 @@ def test_fused_detect_maps_match_xla(rng):
         kaux[4][ys, xs], ref5[3, ss, ys, xs], atol=1e-2
     )  # sharpness
     assert same_scale.sum() >= 0.99 * both.sum()
+
+    # LEAN kernel (refinement post-top-k, r4): must reproduce the full
+    # kernel's Detections through the shared select tail.
+    kresp_l, kaux_l = pallas_detect.detect_maps(
+        octave.base, taps=taps_t, n_scales=S, thresh=float(cfg.thresh),
+        edge_limit=float(cfg.edge_limit), scale_gate=0.0, interpret=True,
+        lean=True,
+    )
+    d_full = detect_mod.select_from_maps(
+        jnp.asarray(kresp), jnp.asarray(kaux), cfg)
+    d_lean = detect_mod.select_from_maps(kresp_l, kaux_l, cfg)
+    va, vb = np.asarray(d_full.valid), np.asarray(d_lean.valid)
+    assert va.sum() == vb.sum()
+    for f in ("x", "y", "scale", "sharpness"):
+        fa = np.asarray(getattr(d_full, f))[va]
+        fb = np.asarray(getattr(d_lean, f))[vb]
+        np.testing.assert_allclose(fa, fb, atol=1e-4)
 
 
 @pytest.mark.slow

@@ -1,0 +1,116 @@
+"""Device A/B: windowed-DMA sampling kernel vs the VMEM-atlas kernel.
+
+VERDICT r4 item 1: the up-scale sample stage measured ~9 ms at 12.5k
+keypoints; the r3 kernel holds the 43 MB atlas as a VMEM block and
+extracts each patch with a full-width [48, 2560] lane rotate.  The
+windowed variant (pallas_sample.fused_orient_descriptor_win) streams
+per-keypoint [48, 256] windows from HBM via pipelined async copies.
+
+Usage: python tools/exp_sample_win.py [--config up_t2.0|dino] [--cpu]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    if "--cpu" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from sfm_tpu.config import SiftConfig
+    from sfm_tpu.io.image_io import load_gray
+    from sfm_tpu.sift import frontend
+    from sfm_tpu.utils.timing import measure_rtt
+
+    which = "up_t2.0"
+    for a in sys.argv:
+        if a.startswith("--config="):
+            which = a.split("=", 1)[1]
+
+    if which == "dino":
+        img = jnp.asarray(load_gray("/root/reference/data/dino/viff.000.ppm"))
+        cfg = SiftConfig(max_pts_per_octave=1024)
+    else:
+        img = jnp.asarray(load_gray("/root/reference/CudaSift/data/left.pgm"))
+        up = which.startswith("up")
+        thresh = float(which.split("_t", 1)[1])
+        cfg = SiftConfig(
+            num_octaves=5, max_pts_per_octave=4096, sample_cap=16384,
+            thresh=thresh, up_scale=up,
+        )
+
+    use_pallas = frontend._use_pallas(cfg)
+    offsets, subs = frontend.atlas_layout(img.shape, cfg)
+    mats = frontend._mats_for(img.shape, cfg)
+    atlas, dets = frontend._detect_stage(img, cfg, mats)
+    jax.block_until_ready(atlas)
+    print(f"config {which}: atlas {atlas.shape}", flush=True)
+
+    variants = {
+        "atlas-vmem": dataclasses.replace(cfg, sample_window=False),
+        "window-dma": dataclasses.replace(cfg, sample_window=True),
+    }
+    outs = {}
+    for name, c in variants.items():
+        t0 = time.time()
+        r = frontend._sample_stage(atlas, offsets, subs, dets, c, use_pallas)
+        n = int(np.asarray(r.keypoints.count()))
+        outs[name] = r
+        print(f"{name}: compile+first {time.time()-t0:.1f}s feats {n}",
+              flush=True)
+
+    # Output parity (descriptors at matched slot order; the two kernels
+    # share compaction, so slots align 1:1).
+    a, b = outs["atlas-vmem"], outs["window-dma"]
+    va = np.asarray(a.keypoints.valid)
+    da = np.asarray(a.descriptors)[va]
+    db = np.asarray(b.descriptors)[np.asarray(b.keypoints.valid)]
+    if da.shape == db.shape:
+        corr = (da * db).sum(1) / np.maximum((da * da).sum(1), 1e-12)
+        print(f"desc agreement: n={len(corr)} min_corr={corr.min():.6f} "
+              f"frac>0.999={float((corr > 0.999).mean()):.4f}", flush=True)
+    else:
+        print(f"VALID COUNT MISMATCH: {da.shape} vs {db.shape}", flush=True)
+
+    rtt = measure_rtt()
+    print(f"rtt {rtt:.1f} ms", flush=True)
+    N = 8
+    best = {k: float("inf") for k in variants}
+    for rep in range(3):
+        for name, c in variants.items():
+            t0 = time.time()
+            rs = [
+                frontend._sample_stage(atlas, offsets, subs, dets, c,
+                                       use_pallas)
+                for _ in range(N)
+            ]
+            _ = float(sum(jnp.sum(r.descriptors[:1, :1]) for r in rs))
+            best[name] = min(
+                best[name], max(0.0, (time.time() - t0) * 1000 - rtt) / N
+            )
+            print(f"  rep {rep} {name}: {best[name]:.2f} ms", flush=True)
+    print("--- summary (sample stage) ---", flush=True)
+    for name in variants:
+        print(f"{name}: {best[name]:.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
