@@ -27,7 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -2.0  # correlations of unit vectors live in [-1, 1]
 
 
-def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int):
+def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int, *,
+                       acc_dtype=jnp.float32, chains: int = 1):
     """Per-LANE running top-2: the accumulator keeps (best, second,
     idx) PER LANE-COLUMN ([BM, 128] each), so each 128-wide group of a
     score tile merges with ~5 elementwise passes instead of the ~9
@@ -37,17 +38,34 @@ def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int):
     block: the global second-best is either the second of the lane
     holding the global best or the best of the runner-up lane, both of
     which the per-lane accumulator preserves.
+
+    acc_dtype=bfloat16 ("lanes16" variant): the running loop's
+    compare/select passes run on PACKED bf16 vregs (2x VPU rate where
+    native); scores are downcast once per group and the exact
+    cross-lane merge runs in f32 on the upcast accumulators.  Score
+    quantization ~2^-8 relative — argmax agreement is checked by the
+    full-size parity row in tools/bench_match.py.  The block id is
+    stored in the accumulator dtype, so bf16 needs n2_blocks * g <=
+    256 (bf16 holds integers exactly to 256) — guarded by the caller.
+
+    chains=2: groups alternate between two independent accumulator
+    sets, doubling ILP across the serial per-lane dependency chain;
+    the final merge folds chain B into A (exact, ties prefer chain A).
     """
     g = bn // 128
 
-    def kernel(d1_ref, d2_ref, v2_ref, out_ref, b_ref, s_ref, i_ref):
+    def kernel(d1_ref, d2_ref, v2_ref, out_ref, *acc):
+        b_refs = acc[0::3]
+        s_refs = acc[1::3]
+        i_refs = acc[2::3]
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
-            b_ref[:, :] = jnp.full_like(b_ref, _NEG)
-            s_ref[:, :] = jnp.full_like(s_ref, _NEG)
-            i_ref[:, :] = jnp.zeros_like(i_ref)
+            for c in range(chains):
+                b_refs[c][:, :] = jnp.full_like(b_refs[c], _NEG)
+                s_refs[c][:, :] = jnp.full_like(s_refs[c], _NEG)
+                i_refs[c][:, :] = jnp.zeros_like(i_refs[c])
 
         scores = jax.lax.dot_general(
             d1_ref[:, :], d2_ref[:, :],
@@ -57,21 +75,38 @@ def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int):
         scores = scores + (v2_ref[:, :] - 1.0) * 1e3
 
         for gi in range(g):
-            s = scores[:, gi * 128:(gi + 1) * 128]
+            c = gi % chains
+            s = scores[:, gi * 128:(gi + 1) * 128].astype(acc_dtype)
             # The lane is implicit in the accumulator position, so only
             # the 128-wide BLOCK id is stored (one fewer VPU pass than
             # adding a lane iota per group); the final merge
             # reconstructs col = block*128 + lane.
-            blk = (j * g + gi).astype(jnp.float32)
-            b = b_ref[:, :]
+            blk = (j * g + gi).astype(acc_dtype)
+            b = b_refs[c][:, :]
             take = s > b
-            s_ref[:, :] = jnp.maximum(s_ref[:, :], jnp.where(take, b, s))
-            b_ref[:, :] = jnp.where(take, s, b)
-            i_ref[:, :] = jnp.where(take, blk, i_ref[:, :])
+            s_refs[c][:, :] = jnp.maximum(
+                s_refs[c][:, :], jnp.where(take, b, s))
+            b_refs[c][:, :] = jnp.where(take, s, b)
+            i_refs[c][:, :] = jnp.where(take, blk, i_refs[c][:, :])
 
         @pl.when(j == n2_blocks - 1)
         def _():
-            b = b_ref[:, :]
+            b = b_refs[0][:, :].astype(jnp.float32)
+            s = s_refs[0][:, :].astype(jnp.float32)
+            i = i_refs[0][:, :].astype(jnp.float32)
+            for c in range(1, chains):
+                b2 = b_refs[c][:, :].astype(jnp.float32)
+                s2 = s_refs[c][:, :].astype(jnp.float32)
+                i2 = i_refs[c][:, :].astype(jnp.float32)
+                # Fold chain c into the running union top-2 per lane:
+                # best' = max(b, b2); second' = max(min(b, b2),
+                # second-of-winner); idx follows the winner (ties keep
+                # the earlier chain).
+                takec = b2 > b
+                s = jnp.maximum(jnp.minimum(b, b2),
+                                jnp.where(takec, s2, s))
+                i = jnp.where(takec, i2, i)
+                b = jnp.maximum(b, b2)
             ilane = jax.lax.broadcasted_iota(jnp.int32, (bm, 128), 1)
             gb = jnp.max(b, axis=1, keepdims=True)
             garg = jnp.min(
@@ -81,10 +116,10 @@ def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int):
             at_arg = ilane == garg
             runner = jnp.max(jnp.where(at_arg, _NEG, b), axis=1,
                              keepdims=True)
-            sec_at = jnp.max(jnp.where(at_arg, s_ref[:, :], _NEG), axis=1,
+            sec_at = jnp.max(jnp.where(at_arg, s, _NEG), axis=1,
                              keepdims=True)
             gsec = jnp.maximum(runner, sec_at)
-            gblk = jnp.max(jnp.where(at_arg, i_ref[:, :], -1.0), axis=1,
+            gblk = jnp.max(jnp.where(at_arg, i, -1.0), axis=1,
                            keepdims=True)
             gidx = gblk * 128.0 + garg.astype(jnp.float32)
             olane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
@@ -172,7 +207,11 @@ def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int | None = None,
     kernel 10.53 ms).  variant="tile": per-tile exact top-2 folded
     into a [BM, 8] accumulator.  Same results up to tie-breaking —
     "tile" keeps the lowest column index on EXACTLY equal scores,
-    "lanes" the lowest lane.
+    "lanes" the lowest lane.  r4 experimental variants ("lanes16",
+    "lanes2", "lanes16x2"): bf16 accumulators (packed-vreg compare/
+    select; ~2^-8 score quantization in best/second) and/or two
+    independent accumulator chains (doubled ILP across the per-lane
+    serial dependency); device A/B in tools/bench_match.py.
 
     bm/bn default to a size-adaptive sweep winner (tools/bench_match.py
     r3): bigger tiles amortize per-tile fixed VPU passes once the
@@ -190,11 +229,19 @@ def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int | None = None,
         # N2 = 5120 slots) keep the full-pipeline-A/B'd 512 tile; only
         # capacity-class problems switch to the sweep winners.
         bn = 2048 if n2 > 16384 else (1024 if n2 > 6144 else 512)
-    if variant == "lanes" and (bn % 128 != 0 or bn < 128):
+    lanes_like = variant.startswith("lanes")
+    if lanes_like and (bn % 128 != 0 or bn < 128):
         raise ValueError(
             f"lanes variant needs bn to be a positive multiple of 128 "
             f"(got bn={bn}); columns beyond the last full 128-group "
             "would silently drop from the top-2 merge"
+        )
+    acc_dtype = jnp.bfloat16 if "16" in variant else jnp.float32
+    chains = 2 if variant.endswith("x2") or variant == "lanes2" else 1
+    if acc_dtype == jnp.bfloat16 and -(-n2 // 128) > 256:
+        raise ValueError(
+            f"lanes16 stores the 128-column block id in bf16, exact "
+            f"only to 256 blocks (N2 <= 32768); got N2={n2}"
         )
     if valid2 is None:
         valid2 = jnp.ones((n2,), bool)
@@ -211,9 +258,11 @@ def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int | None = None,
     v2row = valid2.astype(jnp.float32)[None, :]  # [1, N2]
     n2_blocks = n2p // bn
 
-    if variant == "lanes":
-        kernel = _make_kernel_lanes(bm, bn, n2_blocks)
-        scratch = [pltpu.VMEM((bm, 128), jnp.float32) for _ in range(3)]
+    if lanes_like:
+        kernel = _make_kernel_lanes(bm, bn, n2_blocks,
+                                    acc_dtype=acc_dtype, chains=chains)
+        scratch = [pltpu.VMEM((bm, 128), acc_dtype)
+                   for _ in range(3 * chains)]
     else:
         kernel = _make_kernel(bm, bn, n2_blocks)
         scratch = [pltpu.VMEM((bm, 8), jnp.float32)]

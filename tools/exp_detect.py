@@ -7,7 +7,6 @@ Variants timed amortized (see CLAUDE.md conventions):
   full    — current detect stage (exact top-k)
   approx  — detect with approx_max_k
   pixmax  — detect with per-pixel scale-max reduction before top-k
-  batch2  — batched 2-image detect stage
 """
 
 from __future__ import annotations

@@ -90,6 +90,17 @@ def main():
             base, refine_rounds=4, refine_iters=6),
         "rounds4_it5": dataclasses.replace(
             base, refine_rounds=4, refine_iters=5),
+        # r4 bad-seed tail: the device BENCH run (NOTES_R4) still had
+        # one seed at 763 valid under the tvote2 default — candidates
+        # for the last-seed rescue are more RANSAC hypotheses (the
+        # bench config runs 1024, default is 4096) or more vote rounds.
+        "h2048": var(n_hyps=2048),
+        "h4096": var(n_hyps=4096),
+        "tvote3": dataclasses.replace(base, tvote_rounds=3),
+        "tvote1": dataclasses.replace(base, tvote_rounds=1),
+        "dirs2048": dataclasses.replace(base, tvote_dirs=2048),
+        "h2048_tvote3": dataclasses.replace(
+            var(n_hyps=2048), tvote_rounds=3),
     }
     if args.only:
         names = args.only.split(",")
