@@ -145,6 +145,21 @@ class PipelineConfig:
     # Size of the direction bank (1024 needed: one CPU-study seed's
     # good basin is missed at 512 — NOTES_R4).
     tvote_dirs: int = 1024
+    # Round-selection tightening: candidates are ranked by the count of
+    # inliers at threshold * score_tight_mult (lexicographically above
+    # the full valid count).  The full RANSAC threshold (~4 px at the
+    # dino intrinsics) is loose enough that a geometrically bad basin
+    # can admit MORE loose inliers than the true pose (device seed
+    # study, NOTES_R4); the tight count separates the basins.  0
+    # disables (pure valid-count ranking).
+    score_tight_mult: float = 0.25
+    # Multi-start refinement: score all 4 pose branches of the LO-refit
+    # E plus the top-restart_k RANSAC bank draws (tight-count metric,
+    # batched closed-form cheirality) and start the refine rounds from
+    # the argmax.  The single best draw's basin is wrong on ~1/4 of
+    # seeds (device study NOTES_R4) and no post-hoc vote rescues a bad
+    # R.  0 = single-start cheirality vote (r3 behavior).
+    restart_k: int = 16
     # Compact correspondences to this many slots before the geometry
     # program (valid entries first).  The keypoint capacity is
     # num_octaves * 2 * max_pts_per_octave slots (10240 in the bench

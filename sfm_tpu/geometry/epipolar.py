@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.ops import linalg
+from sfm_tpu.utils.precision import f32_matmul
 
 
 def eight_point_matrix(x1, x2):
@@ -51,6 +52,7 @@ def estimate_E_8pt(x1, x2, *, sweeps: int = 10):
     return linalg.project_to_essential(E, sweeps=sweeps)
 
 
+@f32_matmul
 def normalizing_transform(x, mask=None):
     """Hartley isotropic normalization transform for [N, 3] points.
 
@@ -90,6 +92,7 @@ def denormalize_E(E_hat, T1, T2):
     return jnp.einsum("ji,...jk,kl->...il", T2, E_hat, T1)
 
 
+@f32_matmul
 def epipolar_residuals(E, x1, x2):
     """Symmetric squared epipolar distance of all points vs all E.
 
@@ -111,6 +114,7 @@ def epipolar_residuals(E, x1, x2):
     return num * (1.0 / (d1 + eps) + 1.0 / (d2 + eps))
 
 
+@f32_matmul
 def sampson_residuals(E, x1, x2):
     """First-order (Sampson) squared epipolar error, [..., N]."""
     l1 = jnp.einsum("...ij,nj->...ni", E, x1)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from sfm_tpu.ops import linalg
 from sfm_tpu.geometry import epipolar
+from sfm_tpu.utils.precision import f32_matmul
 
 
 class HomographyResult(NamedTuple):
@@ -38,6 +39,7 @@ def homography_system(uv1, uv2):
     return jnp.stack([r1, r2], axis=-2)
 
 
+@f32_matmul
 def transfer_errors(H, uv1, uv2):
     """[..., N] squared symmetric-free forward transfer error."""
     x = jnp.concatenate([uv1, jnp.ones_like(uv1[..., :1])], axis=-1)
@@ -48,6 +50,7 @@ def transfer_errors(H, uv1, uv2):
 
 
 @functools.partial(jax.jit, static_argnames=("n_hyps", "refit_iters"))
+@f32_matmul
 def ransac_homography(
     key,
     uv1,

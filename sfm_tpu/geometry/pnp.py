@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from sfm_tpu.ops import linalg
 from sfm_tpu.geometry import lie
+from sfm_tpu.utils.precision import f32_matmul
 
 
 class PnPResult(NamedTuple):
@@ -90,6 +91,7 @@ def reprojection_residuals(R, t, x, X):
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
+@f32_matmul
 def refine_pose(R, t, x, X, weights=None, *, iters: int = 8,
                 huber_delta: float = 3e-3):
     """Fixed-iteration damped GN on SE(3) minimizing robust reprojection."""
@@ -139,6 +141,7 @@ def refine_pose(R, t, x, X, weights=None, *, iters: int = 8,
 
 
 @functools.partial(jax.jit, static_argnames=("n_hyps", "refine_iters"))
+@f32_matmul
 def ransac_pnp(
     key,
     x,

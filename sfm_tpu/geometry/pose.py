@@ -19,12 +19,14 @@ import jax.numpy as jnp
 
 from sfm_tpu.ops import linalg
 from sfm_tpu.geometry import triangulate as tri
+from sfm_tpu.utils.precision import f32_matmul
 
 # W = Rz(+90deg), the twist used in E = [t]_x R factorization
 # (reference SfM/kernels.h:357-385 builds the same four candidates).
 _W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
 
 
+@f32_matmul
 def pose_candidates(E, *, sweeps: int = 8):
     """Four candidate (R, t) from E.
 
@@ -47,6 +49,7 @@ def pose_candidates(E, *, sweeps: int = 8):
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps",))
+@f32_matmul
 def align_candidates(E, R_ref, t_ref, *, sweeps: int = 8):
     """Pick the (R, t) candidate of E closest to a reference pose.
 
@@ -64,6 +67,7 @@ def align_candidates(E, R_ref, t_ref, *, sweeps: int = 8):
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps",))
+@f32_matmul
 def recover_pose(E, x1, x2, weights=None, *, sweeps: int = 8):
     """Pick the cheirality-correct (R, t) among the 4 candidates of E.
 
@@ -129,6 +133,7 @@ _GEN = jnp.asarray(
 
 
 @functools.partial(jax.jit, static_argnames=("n_dirs",))
+@f32_matmul
 def cheirality_t_vote(R, x1, x2, mask, threshold, *, n_dirs: int = 1024):
     """Max-cheirality translation direction for a FIXED rotation.
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from sfm_tpu.ops import linalg
 from sfm_tpu.geometry import epipolar
+from sfm_tpu.utils.precision import f32_matmul
 
 
 class RansacResult(NamedTuple):
@@ -34,6 +35,7 @@ class RansacResult(NamedTuple):
     num_inliers: jax.Array  # [] int32
     best_index: jax.Array   # [] index into the hypothesis bank
     counts: jax.Array     # [R] per-hypothesis inlier counts
+    topk_E: jax.Array     # [K, 3, 3] top-K bank hypotheses by count
 
 
 def sample_minimal_sets(key, mask, n_hyps: int, k: int = 8):
@@ -67,6 +69,7 @@ def _count_chunk(E_chunk, x1, x2, mask, threshold):
     return jnp.sum((r < threshold) & mask[None, :], axis=-1).astype(jnp.int32)
 
 
+@f32_matmul
 def build_hypothesis_bank(key, x1, x2, mask, *, n_hyps: int, sweeps: int = 10):
     """Sample minimal sets and solve the whole 8-point bank at once.
 
@@ -90,8 +93,9 @@ def build_hypothesis_bank(key, x1, x2, mask, *, n_hyps: int, sweeps: int = 10):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_hyps", "chunk", "sweeps", "refit_iters"),
+    static_argnames=("n_hyps", "chunk", "sweeps", "refit_iters", "topk"),
 )
+@f32_matmul
 def ransac_essential(
     key,
     x1,
@@ -103,6 +107,7 @@ def ransac_essential(
     chunk: int = 256,
     sweeps: int = 10,
     refit_iters: int = 2,
+    topk: int = 16,
 ) -> RansacResult:
     """Estimate E from [N, 3] normalized correspondences.
 
@@ -115,6 +120,10 @@ def ransac_essential(
         in normalized coords (reference: 1e-6 algebraic, SfM/sfm.cu:220).
       chunk: hypotheses scored per lax.map step (memory = chunk * N).
       refit_iters: all-inlier least-squares polish rounds (0 disables).
+      topk: top-K bank hypotheses (by inlier count) returned in
+        topk_E for multi-start refinement (two_view_geometry): the
+        single best draw's basin is NOT the global one on ~1/4 of
+        seeds (r4 device study, NOTES_R4).
     """
     n = x1.shape[0]
     if mask is None:
@@ -168,10 +177,12 @@ def ransac_essential(
         (E, r), _ = jax.lax.scan(polish, (E, r), None, length=refit_iters)
 
     inl = (r < threshold) & mask
+    _, top_idx = jax.lax.top_k(counts, max(min(topk, n_hyps), 1))
     return RansacResult(
         E=E,
         inliers=inl,
         num_inliers=jnp.sum(inl).astype(jnp.int32),
         best_index=best,
         counts=counts,
+        topk_E=E_bank[top_idx],
     )

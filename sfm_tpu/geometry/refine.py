@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from sfm_tpu.ops.linalg import cross_matrix
 from sfm_tpu.geometry import lie
+from sfm_tpu.utils.precision import f32_matmul
 
 
 class RefineResult(NamedTuple):
@@ -49,6 +50,7 @@ def _huber_weights(r, delta):
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
+@f32_matmul
 def refine_relative_pose(
     R,
     t,

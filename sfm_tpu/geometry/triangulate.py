@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.ops import linalg
+from sfm_tpu.utils.precision import f32_matmul
 
 
 def make_projection(R, t):
@@ -40,6 +41,7 @@ def dlt_system(x1, x2, P1, P2):
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "w_clamp", "solver"))
+@f32_matmul
 def triangulate(x1, x2, P1, P2, *, sweeps: int = 10, w_clamp: float = 5.0,
                 solver: str = "jacobi"):
     """Triangulate all correspondences; returns (X [..., N, 3], w [..., N]).
@@ -77,6 +79,7 @@ def depths(X, R, t):
     return jnp.einsum("...ij,...nj->...ni", R, X)[..., 2] + t[..., None, 2]
 
 
+@f32_matmul
 def midpoint_depths(x1, x2, R, t):
     """Closed-form two-ray depths (z1, z2) for cheirality tests.
 
@@ -123,6 +126,7 @@ def reprojection_errors(X, x1, x2, R, t):
     return e1 + e2
 
 
+@f32_matmul
 def triangulate_tracks(R, t, cam_idx, pt_idx, uv_n, mask, n_points: int,
                        *, w_clamp: float = 5.0):
     """Multiview linear triangulation over a flat observation list.

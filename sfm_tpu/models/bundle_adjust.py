@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.geometry import lie
+from sfm_tpu.utils.precision import f32_matmul
 
 
 class BAProblem(NamedTuple):
@@ -320,6 +321,7 @@ def _apply(R, t, X, delta_c, delta_p):
 @functools.partial(
     jax.jit, static_argnames=("iters", "huber_delta", "solver", "cg_iters")
 )
+@f32_matmul
 def run_ba(
     R,
     t,

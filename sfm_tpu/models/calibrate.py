@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.models import bundle_adjust as ba
+from sfm_tpu.utils.precision import f32_matmul
 
 
 class Intrinsics(NamedTuple):
@@ -88,6 +89,7 @@ def undistort_normalize(uv_pix, intr: Intrinsics, iters: int = 5):
 
 
 @jax.jit
+@f32_matmul
 def fit_intrinsics(R, t, X, cam_idx, pt_idx, mask, uv_pix, intr: Intrinsics,
                    w=None) -> Intrinsics:
     """Closed-form weighted LS update of (f, k1, k2), fixed structure.
@@ -161,6 +163,7 @@ def _obs_jacobians_intr(R, t, X, cam_idx, pt_idx, mask, uv_pix, intr):
     jax.jit,
     static_argnames=("iters", "huber_px", "estimate_f", "estimate_k"),
 )
+@f32_matmul
 def run_ba_joint(
     R, t, X,
     cam_idx, pt_idx, mask, fixed,

@@ -24,6 +24,7 @@ from sfm_tpu.geometry import camera, pnp, ransac, pose as pose_mod, refine, tria
 from sfm_tpu.models import bundle_adjust as ba
 from sfm_tpu.models.two_view import gather_correspondences
 from sfm_tpu.sift import frontend, match as match_mod
+from sfm_tpu.utils.precision import f32_matmul
 
 
 class MapState(NamedTuple):
@@ -76,6 +77,7 @@ def _append_points(state: MapState, X_new, new_mask):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@f32_matmul
 def _register_image(
     state: MapState,
     cur_idx,
@@ -167,6 +169,7 @@ def _register_image(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@f32_matmul
 def _apply_closure(
     state: MapState,
     i,           # [] int32 frame index
@@ -297,6 +300,7 @@ def build_ba_problem(state: MapState, uv_all, kp_valid, K_inv):
 
 
 @functools.partial(jax.jit, static_argnames=("obs_cap",))
+@f32_matmul
 def _window_problem(problem: ba.BAProblem, pt_capacity_arr, win_lo, win_hi,
                     obs_cap: int):
     """Compact a full BAProblem to the observations a windowed local BA

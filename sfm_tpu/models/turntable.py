@@ -41,6 +41,7 @@ import jax.numpy as jnp
 
 from sfm_tpu.geometry import lie, triangulate as tri
 from sfm_tpu.models import tracks as tracks_mod
+from sfm_tpu.utils.precision import f32_matmul
 
 
 class TurntableModel(NamedTuple):
@@ -170,6 +171,7 @@ def undistort_pixels(uv_pix, c, f, k1, k2, *, fp_iters: int = 5):
         "estimate_intrinsics", "estimate_k2",
     ),
 )
+@f32_matmul
 def refine_turntable(
     model: TurntableModel,
     cam_idx, pt_idx, uv_pix, mask, K,

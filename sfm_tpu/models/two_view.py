@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from sfm_tpu.config import PipelineConfig
 from sfm_tpu.geometry import camera, ransac, pose, refine, triangulate as tri
 from sfm_tpu.sift import frontend, match as match_mod
+from sfm_tpu.utils.precision import f32_matmul
 
 
 class TwoViewResult(NamedTuple):
@@ -50,6 +51,7 @@ def gather_correspondences(kp1, desc1, kp2, desc2, matches):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@f32_matmul
 def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConfig()):
     """RANSAC + pose + refine + triangulate from pixel correspondences.
 
@@ -70,6 +72,7 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
         key, x1, x2, est_mask,
         n_hyps=rc.n_hyps, threshold=rc.threshold, chunk=rc.chunk,
         sweeps=rc.sweeps, refit_iters=rc.refit_iters,
+        topk=max(cfg.restart_k, 1),
     )
     from sfm_tpu.geometry import epipolar
 
@@ -88,7 +91,6 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
     else:
         x1v, x2v = x1, x2
         wv = res.inliers.astype(x1.dtype)
-    p = pose.recover_pose(res.E, x1v, x2v, weights=wv)
     # Refine <-> re-vote <-> re-score rounds with a branchless best-of
     # selection (see PipelineConfig.refine_rounds).  The Sampson
     # objective is invariant to the 4-fold (R, t) ambiguity of E, so
@@ -98,8 +100,6 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
     # selection is NOT safe — the vote is).  recover_pose triangulates
     # every correspondence against the winning candidate, so the
     # winning round's points come for free.
-    R_cur, t_cur = p["R"], p["t"]
-    w = res.inliers
     best = None
 
     def consider(cand, best):
@@ -113,13 +113,71 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
         closed-form midpoint cheirality test at (R2, t2) — ~10 ops per
         point instead of the 4x N DLT solves of a full recover_pose;
         only the WINNING candidate pays for the full triangulation
-        (below)."""
+        (below).
+
+        Score = tight-inlier count (residual < threshold *
+        score_tight_mult) lexicographically above the full valid
+        count: the RANSAC threshold (3e-6 normalized ~ 4 px) is loose
+        enough that a geometrically bad basin can ADMIT more loose
+        inliers than the true pose (device seed study NOTES_R4: an
+        h4096 candidate with 1036 valid at 3.9 px out-counted the
+        0.8 px basin) — the tight count separates them while the full
+        count still breaks ties."""
         E_n = E * (jnp.sqrt(2.0) / jnp.linalg.norm(E))
         r = epipolar.epipolar_residuals(E_n, x1, x2)
         inl = (r < rc.threshold) & mask
         z1, z2 = tri.midpoint_depths(x1, x2, R2, t2)
-        valid_k = inl & (z1 > 0) & (z2 > 0)
-        return inl, valid_k, jnp.sum(valid_k).astype(jnp.int32)
+        cheir = (z1 > 0) & (z2 > 0)
+        valid_k = inl & cheir
+        score = jnp.sum(valid_k).astype(jnp.int32)
+        if cfg.score_tight_mult > 0:
+            tight = jnp.sum(
+                (r < rc.threshold * cfg.score_tight_mult) & mask & cheir
+            ).astype(jnp.int32)
+            score = tight * jnp.int32(16384) + score
+        return inl, valid_k, score
+
+    # Multi-start selection (r4): refinement's basin of attraction is
+    # decided by its starting pose, and on ~1/4 of seeds the single
+    # best RANSAC draw is NOT in the global basin (device seed study,
+    # NOTES_R4 — no amount of re-voting or extra rounds rescues a bad
+    # start whose R is off).  Score ALL 4 pose branches of the LO-refit
+    # E plus the top-K bank draws with the same tight-count metric the
+    # rounds use (batched: one [C, N] residual bank + vmapped midpoint
+    # depths, ~10 ops/point/candidate — no DLT) and start from the
+    # argmax.  restart_k=0 falls back to the single-start cheirality
+    # vote.
+    if cfg.restart_k > 0:
+        E_cands = jnp.concatenate([res.E[None], res.topk_E])    # [C,3,3]
+        E_cands = E_cands * (
+            jnp.sqrt(2.0)
+            / jnp.linalg.norm(E_cands, axis=(1, 2), keepdims=True)
+        )
+        Rs, ts = pose.pose_candidates(E_cands)      # [C,4,3,3], [C,4,3]
+        C = E_cands.shape[0]
+        Rs = Rs.reshape(C * 4, 3, 3)
+        ts = ts.reshape(C * 4, 3)
+        rb = epipolar.epipolar_residuals(E_cands, x1, x2)       # [C, N]
+        rb = jnp.repeat(rb, 4, axis=0)                          # [4C, N]
+        z1b, z2b = jax.vmap(tri.midpoint_depths, (None, None, 0, 0))(
+            x1, x2, Rs, ts
+        )
+        cheir = (z1b > 0) & (z2b > 0)
+        validb = (rb < rc.threshold) & mask[None, :] & cheir
+        scoreb = jnp.sum(validb, axis=-1).astype(jnp.int32)
+        if cfg.score_tight_mult > 0:
+            tightb = jnp.sum(
+                (rb < rc.threshold * cfg.score_tight_mult)
+                & mask[None, :] & cheir, axis=-1,
+            ).astype(jnp.int32)
+            scoreb = tightb * jnp.int32(16384) + scoreb
+        bsel = jnp.argmax(scoreb)
+        R_cur, t_cur = Rs[bsel], ts[bsel]
+        w = validb[bsel]
+    else:
+        p = pose.recover_pose(res.E, x1v, x2v, weights=wv)
+        R_cur, t_cur = p["R"], p["t"]
+        w = res.inliers
 
     for _round in range(max(cfg.refine_rounds, 1)):
         ref = refine.refine_relative_pose(

@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from sfm_tpu.utils.precision import f32_matmul
 
 __all__ = [
     "jacobi_eigh",
@@ -56,6 +57,7 @@ def _jacobi_rotation(app, aqq, apq):
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "sort"))
+@f32_matmul
 def jacobi_eigh(A, *, sweeps: int = 10, sort: bool = True):
     """Eigendecomposition of batched symmetric matrices via cyclic Jacobi.
 
@@ -190,6 +192,7 @@ def gram_nullvec4_adj(A):
     return jnp.where(ok, v / den, fb)
 
 
+@f32_matmul
 def smallest_eigvec_power(G, *, iters: int = 5):
     """Smallest eigenvector of symmetric PSD ``[..., n, n]`` matrices via
     ridge inverse iteration.
@@ -354,6 +357,7 @@ def eigh3x3(A):
     return x, V
 
 
+@f32_matmul
 def qr_nullvec(A):
     """Exact null vector of [..., m, n] systems with m < n via QR.
 
@@ -421,6 +425,7 @@ def _align_v2(E, V, u2):
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "method"))
+@f32_matmul
 def svd3x3(E, *, sweeps: int = 8, method: str = "jacobi"):
     """Batched 3x3 SVD ``E = U diag(s) V^T`` with descending s.
 
@@ -454,6 +459,7 @@ def svd3x3(E, *, sweeps: int = 8, method: str = "jacobi"):
     return U, s, V
 
 
+@f32_matmul
 def project_to_essential(E, *, sweeps: int = 8):
     """Project 3x3 matrices onto the essential manifold: singvals (1,1,0).
 

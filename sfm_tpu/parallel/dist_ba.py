@@ -35,6 +35,7 @@ from sfm_tpu.models import bundle_adjust as ba
 from sfm_tpu.models.bundle_adjust import BAProblem
 from sfm_tpu.geometry import lie
 from sfm_tpu.parallel.mesh import DATA_AXIS
+from sfm_tpu.utils.precision import f32_matmul
 
 
 def partition_problem(problem: BAProblem, X, n_shards: int,
@@ -124,6 +125,7 @@ def _local_blocks(R, t, X_loc, prob_loc: BAProblem, huber_delta, n_cams, n_pts_l
     jax.jit,
     static_argnames=("mesh", "iters", "huber_delta", "axis", "solver", "cg_iters"),
 )
+@f32_matmul
 def run_dist_ba(
     R,
     t,
