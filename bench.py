@@ -84,10 +84,12 @@ def main():
     log(f"compile+first run: {time.time()-t0:.1f} s")
     # Quality over several RANSAC seeds (the draw moves the valid-point
     # count by ~20%; a single seed is noise-hostage), reported as the
-    # median.  Floors sit under the r3 measured config (median ~1141 /
-    # ~930 / ~910 at cap 2560 + fused detect + refine_rounds 3) so
-    # regressions are loud (r2 lost 33% of valid points to slot caps
-    # unnoticed — VERDICT r2 weak item 1).
+    # median.  Floors sit under the r4 measured config (8-seed device
+    # study NOTES_R4: valid 957-1067, px 0.34-0.62 with f32 geometry
+    # precision + top-K restart + tight scoring + tvote) so regressions
+    # are loud (r2 lost 33% of valid points to slot caps unnoticed —
+    # VERDICT r2 weak item 1; r1-r3 ran bf16-noisy inlier gates
+    # unnoticed — NOTES_R4).
     qs = []
     for s in range(4):
         r = run(s)
@@ -102,24 +104,24 @@ def main():
         f"median: matches={n_matches:.0f} inliers={n_inliers:.0f} "
         f"valid_points={n_valid:.0f} reproj_px={reproj_px:.3f}"
     )
-    floors = {"matches": (n_matches, 1100), "inliers": (n_inliers, 700),
-              "valid_points": (n_valid, 750)}
+    floors = {"matches": (n_matches, 1100), "inliers": (n_inliers, 950),
+              "valid_points": (n_valid, 950)}
     for name, (got, floor) in floors.items():
         if got < floor:
             log(f"WARNING: {name}={got} BELOW FLOOR {floor} — "
                 "quality regression, do not ship")
-    if reproj_px > 1.0:
-        log(f"WARNING: median reproj_px={reproj_px:.3f} above 1.0 px ceiling")
+    if reproj_px > 0.7:
+        log(f"WARNING: median reproj_px={reproj_px:.3f} above 0.7 px ceiling")
     # Per-seed gates (VERDICT r3 weak item 3: median-only gating let a
     # 1.23 px seed ship silently): EVERY seed must clear the tail
     # floors, not just the middle of the distribution.
     for s, (qm, qi, qv, qpx) in enumerate(qs):
-        if qv < 800:
+        if qv < 900:
             log(f"WARNING: seed {s} valid_points={qv} below per-seed "
-                "floor 800 — bad-seed tail regression")
-        if qpx > 1.05:
+                "floor 900 — bad-seed tail regression")
+        if qpx > 0.75:
             log(f"WARNING: seed {s} reproj_px={qpx:.3f} above per-seed "
-                "1.05 px ceiling — bad-seed tail regression")
+                "0.75 px ceiling — bad-seed tail regression")
 
     # Amortized throughput: N chained dispatches, one sync.  The dev
     # tunnel to the TPU has a ~28.5 ms round-trip latency per synced

@@ -140,8 +140,11 @@ class PipelineConfig:
     # searches the t-sphere for the max-cheirality direction given the
     # best round's R (geometry.pose.cheirality_t_vote — two matmuls
     # over a Fibonacci bank), enters the voted E as a candidate, and
-    # re-refines from the voted pose.  0 disables.
-    tvote_rounds: int = 2
+    # re-refines from the voted pose; a final vote-only half round
+    # always follows.  0 disables both.  Default 1 (device 8-seed A/B
+    # NOTES_R4: with the top-K restart, round 2 bought +75 min-valid
+    # for +0.68 ms; the half round recovers most of it for ~0.1 ms).
+    tvote_rounds: int = 1
     # Size of the direction bank (1024 needed: one CPU-study seed's
     # good basin is missed at 512 — NOTES_R4).
     tvote_dirs: int = 1024

@@ -216,6 +216,19 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
         inl, valid_k, score = score_E(ref.E, p2["R"], p2["t"])
         best = consider((score, ref.E, inl, p2["R"], p2["t"]), best)
 
+    # Final vote-only half round: the last refine may have improved R,
+    # and re-voting t against the improved R is ~0.1 ms (two matmuls +
+    # score) vs ~0.7 ms for a full vote+refine round.  consider() is
+    # monotone, so this can only help (device A/B NOTES_R4: buys back
+    # most of the tvote_rounds=2 quality at tvote_rounds=1 cost).
+    if cfg.tvote_rounds > 0:
+        Rb = best[3]
+        vote = pose.cheirality_t_vote(
+            Rb, x1v, x2v, maskv, rc.threshold, n_dirs=cfg.tvote_dirs,
+        )
+        inl_s, _, score_s = score_E(vote["E"], Rb, vote["t"])
+        best = consider((score_s, vote["E"], inl_s, Rb, vote["t"]), best)
+
     _, E_fin, inl, _, _ = best
     # Full recover_pose on the winner: final branch vote over every
     # point + the output triangulation (reference linear_triangulation,

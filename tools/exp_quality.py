@@ -101,6 +101,16 @@ def main():
         "dirs2048": dataclasses.replace(base, tvote_dirs=2048),
         "h2048_tvote3": dataclasses.replace(
             var(n_hyps=2048), tvote_rounds=3),
+        # r4 post-multi-start trims: with the top-K restart landing in
+        # the right basin on every seed, the tvote/round machinery may
+        # be redundant — find the fastest config keeping all seeds
+        # >= 1000 valid / <= 0.5 px.
+        "tvote0": dataclasses.replace(base, tvote_rounds=0),
+        "tvote1_": dataclasses.replace(base, tvote_rounds=1),
+        "r1_tvote0": dataclasses.replace(
+            base, refine_rounds=1, tvote_rounds=0),
+        "r1_tvote1": dataclasses.replace(
+            base, refine_rounds=1, tvote_rounds=1),
     }
     if args.only:
         names = args.only.split(",")
