@@ -47,6 +47,12 @@ class SiftConfig:
     # counts, 0.73 -> <0.1 ms at the dino config; CPU keeps the XLA
     # path, bridged by the interpret-mode parity tests).
     fused_detect: bool | None = None
+    # Pallas base chain (ops/pallas_pyramid.py): lowpass prefilter and
+    # blur+decimate octave descent as bandwidth-bound kernels instead
+    # of the banded matmuls (~80x redundant FLOPs at HIGH precision —
+    # ~8 ms/image of the up-scale detect stage, r4 device profile).
+    # None = auto (on whenever the fused detect path runs on TPU).
+    pyramid_pallas: bool | None = None
     # Windowed-DMA sampling kernel (pallas_sample.fused_orient_
     # descriptor_win): the atlas stays in HBM and each keypoint streams
     # a 128-aligned [48, 256] window via async copy, replacing the

@@ -202,9 +202,25 @@ def scale_down_matmul(img, mats):
 
 
 def scale_up(img):
-    """Bilinear 2x upsample (reference ScaleUp, cudaSiftD.cu:170-190)."""
+    """2x upsample with the reference's EXACT interleave semantics
+    (reference ScaleUp, cudaSiftD.cu:170-190): out[2y, 2x] = v[y, x],
+    odd rows/cols are clamped midpoints.  r4: replaced
+    jax.image.resize(method="linear"), whose half-pixel-center
+    convention shifts the whole grid by 0.25 px relative to the
+    reference (out[2y, 2x] = 0.75 v[y] + 0.25 v[y-1]) — detection
+    coordinates on up-scaled configs were systematically offset.
+    Pure interleave ops: no gathers, no resize lowering.
+    """
+    vr = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    vd = jnp.concatenate([img[1:, :], img[-1:, :]], axis=0)
+    vdr = jnp.concatenate([vd[:, 1:], vd[:, -1:]], axis=1)
+    ee = img
+    eo = 0.5 * (img + vr)
+    oe = 0.5 * (img + vd)
+    oo = 0.25 * (img + vr + vd + vdr)
     H, W = img.shape
-    return jax.image.resize(img, (2 * H, 2 * W), method="linear")
+    rows = jnp.stack([jnp.stack([ee, eo], -1), jnp.stack([oe, oo], -1)], 1)
+    return rows.reshape(2 * H, 2 * W)
 
 
 def bilinear_sample(img, x, y):

@@ -72,6 +72,16 @@ def _use_fused_detect(cfg: SiftConfig) -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _use_pallas_pyramid(cfg: SiftConfig) -> bool:
+    if cfg.pyramid_pallas is not None:
+        return cfg.pyramid_pallas
+    # Auto: whenever the fused detect path runs on TPU — the banded
+    # matmul base chain is the remaining FLOP-heavy piece there (r4
+    # device profile, NOTES_R4).  CPU keeps the matmul/conv path;
+    # interpret-mode parity is test-only.
+    return _use_fused_detect(cfg) and jax.default_backend() != "cpu"
+
+
 def _build_atlas(bases):
     """Pack octave base images vertically with edge-replicated guards.
 
@@ -155,11 +165,14 @@ def _detect_impl(img, cfg: SiftConfig, mats):
         # refinement all run inside ops/pallas_detect.py per octave,
         # so the DoG volume (and the per-octave Bc/Br banded matrices)
         # never exist in HBM.
-        bases = pyramid.base_chain(img, cfg, mats if mats else None)
+        interp = jax.default_backend() == "cpu"
+        if _use_pallas_pyramid(cfg):
+            bases = pyramid.base_chain_pallas(img, cfg, interpret=interp)
+        else:
+            bases = pyramid.base_chain(img, cfg, mats if mats else None)
         atlas, offsets = _build_atlas(bases)
         dets = []
         sub = 1.0
-        interp = jax.default_backend() == "cpu"
         for o, off in enumerate(offsets):
             taps = pyramid.octave_kernel_bank(cfg, o)
             d = detect_mod.detect_fused(bases[o], taps, cfg, sub,
@@ -189,6 +202,9 @@ def _mats_for(shape, cfg: SiftConfig):
     if not pyramid.use_blur_matmul(cfg):
         return ()
     if _use_fused_detect(cfg):
+        if _use_pallas_pyramid(cfg):
+            # The Pallas base chain needs no matrices at all.
+            return ()
         # The fused kernel computes the blur bank itself; only the
         # lowpass + decimation matrices are needed (the per-octave
         # Bc/Br banded matrices are ~450 MB at the up-scale capacity

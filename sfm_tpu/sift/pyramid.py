@@ -162,6 +162,30 @@ def pyramid_decim_mats(shape, cfg: SiftConfig):
     return tuple(out)
 
 
+def base_chain_pallas(img, cfg: SiftConfig, interpret: bool = False) -> list:
+    """base_chain via the Pallas pyramid kernels (ops/pallas_pyramid):
+    bandwidth-bound lowpass + blur/decimate descent, no banded-matmul
+    matrices at all.  Bit-compatible with base_chain's matmul path up
+    to f32 summation order (interpret-mode parity test in
+    tests/test_pallas_sample.py)."""
+    from sfm_tpu.ops import pallas_pyramid as pp
+
+    if cfg.up_scale:
+        img = imops.scale_up(img)
+    sigma = max(cfg.init_blur, 1e-3)
+    lp = tuple(
+        float(t)
+        for t in imops.gaussian_kernel(cfg.lowpass_radius, sigma * sigma)
+    )
+    sd = tuple(float(t) for t in imops.gaussian_kernel(2, 0.5))
+    base = pp.blur9(img, taps=lp, interpret=interpret)
+    bases = [base]
+    for _ in range(cfg.num_octaves - 1):
+        base = pp.scale_down(base, taps=sd, interpret=interpret)
+        bases.append(base)
+    return bases
+
+
 def base_chain(img, cfg: SiftConfig, decim_mats=None) -> list:
     """Octave base images only (no blur bank): lowpass prefilter then
     the scale-down descent — the inputs the fused-Pallas dense stage

@@ -330,3 +330,26 @@ def test_fused_detect_end_to_end_parity(rng):
     sx, sf = posset(r_x, vx), posset(r_f, vf)
     inter = len(sx & sf)
     assert inter >= 0.95 * max(len(sx), len(sf)), (inter, len(sx), len(sf))
+
+
+def test_pallas_pyramid_base_chain_parity(rng):
+    """base_chain_pallas (interpret) vs the banded-matmul base_chain:
+    identical octave bases up to f32 summation order, incl. up_scale."""
+    import dataclasses
+    from sfm_tpu.config import SiftConfig
+    from sfm_tpu.sift import pyramid, frontend
+
+    img = jnp.asarray(
+        (rng.uniform(size=(96, 130)) * 255).astype(np.float32))
+    for up in (False, True):
+        cfg = SiftConfig(num_octaves=4, up_scale=up,
+                         blur_matmul=True, fused_detect=True)
+        mats = pyramid.pyramid_decim_mats(tuple(img.shape), cfg)
+        ref = pyramid.base_chain(img, cfg, mats)
+        got = pyramid.base_chain_pallas(img, cfg, interpret=True)
+        assert len(ref) == len(got)
+        for o, (a, b) in enumerate(zip(ref, got)):
+            assert a.shape == b.shape, (o, a.shape, b.shape)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-3,
+                err_msg=f"octave {o} up={up}")

@@ -153,6 +153,51 @@ def main():
                     out_ref[:, :] = ps._desc_post_wide(
                         vals, w2d_ref, wsp_ref, perm_ref)
                     return
+                if mode == "desc16":
+                    # bf16 tent builds: positions + both tent matrices
+                    # in packed bf16 (2x VPU rate where native), bf16
+                    # MXU inputs, f32 accumulate.
+                    vrows = []
+                    for k in range(BK):
+                        i = kb * BK + k
+                        P_ = ps.DESC_P
+                        sc = (12.0 / 16.0) * sc_ref[i]
+                        s_idx = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 1024), 1)
+                        i_f = (s_idx % 16).astype(jnp.float32) - 7.5
+                        j_f = ((s_idx // 16) % 16).astype(jnp.float32) - 7.5
+                        grp = s_idx // 256
+                        bx = fxs[k] + sc * i_f
+                        by = fys[k] + sc * j_f
+                        gx = jnp.where(grp == 0, 1.0,
+                                       jnp.where(grp == 1, -1.0, 0.0))
+                        gy = jnp.where(grp == 2, 1.0,
+                                       jnp.where(grp == 3, -1.0, 0.0))
+                        px = jnp.clip(bx + gx, 0.0, P_ - 1.0)
+                        py = jnp.clip(by + gy, 0.0, P_ + 7.0)
+                        pxh = px.astype(jnp.bfloat16)
+                        pyh = py.astype(jnp.bfloat16)
+                        rn = P_ + 8
+                        idx_r = jax.lax.broadcasted_iota(
+                            jnp.int32, (rn, 1024), 0).astype(jnp.bfloat16)
+                        idx_c = jax.lax.broadcasted_iota(
+                            jnp.int32, (P_, 1024), 0).astype(jnp.bfloat16)
+                        half = jnp.bfloat16(1.0)
+                        A = jnp.maximum(
+                            jnp.bfloat16(0.0), half - jnp.abs(pyh - idx_r))
+                        B = jnp.maximum(
+                            jnp.bfloat16(0.0), half - jnp.abs(pxh - idx_c))
+                        tmp = jax.lax.dot_general(
+                            patches[k].astype(jnp.bfloat16), A,
+                            ps._DN_ROWS,
+                            preferred_element_type=jnp.float32)
+                        vrows.append(jnp.sum(
+                            tmp * B.astype(jnp.float32), axis=0,
+                            keepdims=True))
+                    vals = jnp.concatenate(vrows, axis=0)
+                    out_ref[:, :] = ps._desc_post_wide(
+                        vals, w2d_ref, wsp_ref, perm_ref)
+                    return
 
         def _ori_coords(fx_, fy_):
             s_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 484), 1)
@@ -191,6 +236,9 @@ def main():
         "orient(default)": lambda: run_mode("orienthi", x0, y0, fx, fy,
                                             sc_a, inv2s2, cnt),
         "desc": lambda: run_mode("desc", x0, y0, fx, fy, sc_a, inv2s2, cnt),
+        "desc16": lambda: run_mode("desc16", x0, y0, fx, fy, sc_a, inv2s2,
+                                   cnt),
+        "load": lambda: run_mode("load", x0, y0, fx, fy, sc_a, inv2s2, cnt),
         "full": run_full,
     }
     for name, fn in variants.items():
