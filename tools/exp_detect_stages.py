@@ -1,14 +1,19 @@
-"""Sub-stage breakdown of the FUSED detect stage on device (dev tool).
+"""Sub-stage breakdown of extraction on device, scan-chained (dev tool).
 
-The lean-kernel A/B (r4, tools/exp_detect_lean.py) moved the up-scale
-detect stage only 12.55 -> 11.92 ms, so the dense per-pixel solve was
-NOT the cost; speed-of-light for the kernel's arithmetic is ~1 ms.
-This times cumulative prefixes of frontend._detect_impl's fused path:
+Each cumulative prefix of the extraction pipeline is timed as a
+lax.scan of NSCAN serialized reps inside ONE XLA program (the
+methodology validated by tools/exp_scan_extract.py: per-dispatch relay
+tax is ~0.2 ms, but per-PROCESS congestion can inflate chained-dispatch
+walls arbitrarily, so cross-call decompositions are unreliable).
+Prefixes:
 
-  bases   pyramid.base_chain only (lowpass + decimation matmuls)
+  bases   pyramid base chain (Pallas blur/decimate on TPU)
   atlas   + _build_atlas packing
   maps    + pallas detect_maps per octave (no selection)
-  select  + select_from_maps top-k tail  (== the full stage)
+  select  + select_from_maps top-k tail  (== the full detect stage)
+  extract + sampling stage               (== full extract_sift)
+
+Deltas between consecutive rows are per-stage device time.
 
 Usage: python tools/exp_detect_stages.py [--config up_t2.0|dino] [--cpu]
 """
@@ -65,12 +70,26 @@ def main():
     cfg = dataclasses.replace(cfg, fused_detect=True)
     mats = frontend._mats_for(img.shape, cfg)
     interp = jax.default_backend() == "cpu"
+    use_pp = frontend._use_pallas_pyramid(cfg)
+    use_pallas = frontend._use_pallas(cfg)
+    offsets_l, subs_l = frontend.atlas_layout(img.shape, cfg)
 
-    def all_maps(img_, upto=None):
-        bases = pyramid.base_chain(img_, cfg, mats if mats else None)
+    def chain(img_):
+        if use_pp:
+            return pyramid.base_chain_pallas(img_, cfg, interpret=interp)
+        return pyramid.base_chain(img_, cfg, mats if mats else None)
+
+    def f_bases(img_):
+        return chain(img_)[0]
+
+    def f_atlas(img_):
+        return frontend._build_atlas(chain(img_))[0]
+
+    def all_maps(img_):
+        bases = chain(img_)
         atlas, offsets = frontend._build_atlas(bases)
         outs = []
-        for o in range(len(offsets) if upto is None else upto):
+        for o in range(len(offsets)):
             taps = pyramid.octave_kernel_bank(cfg, o)
             taps_t = tuple(
                 tuple(float(v) for v in row) for row in np.asarray(taps)
@@ -83,64 +102,70 @@ def main():
             ))
         return atlas, outs
 
-    @jax.jit
-    def f_bases(img_):
-        return pyramid.base_chain(img_, cfg, mats if mats else None)
-
-    @jax.jit
-    def f_atlas(img_):
-        bases = pyramid.base_chain(img_, cfg, mats if mats else None)
-        return frontend._build_atlas(bases)[0]
-
-    @jax.jit
     def f_maps(img_):
         atlas, outs = all_maps(img_)
-        return atlas, [r for r, _ in outs]
+        return sum(jnp.sum(r[:1, :1]) for r, _ in outs) + jnp.sum(atlas[:1, :1])
 
-    @jax.jit
-    def f_maps1(img_):
-        atlas, outs = all_maps(img_, upto=1)
-        return atlas, [r for r, _ in outs]
+    def f_select(img_):
+        atlas, dets = frontend._detect_impl(img_, cfg, mats)
+        return jnp.sum(atlas[:1, :1]) + sum(jnp.sum(d.x[:1]) for d in dets)
 
-    @jax.jit
-    def f_full(img_):
-        return frontend._detect_stage(img, cfg, mats)
+    def f_extract(img_):
+        atlas, dets = frontend._detect_impl(img_, cfg, mats)
+        r = frontend._sample_stage(atlas, offsets_l, subs_l, dets, cfg,
+                                   use_pallas)
+        return jnp.sum(r.descriptors[0, :1])
+
+    def to_scalar(out):
+        x = out
+        while isinstance(x, (tuple, list)):
+            x = x[0]
+        return jnp.sum(x[:1, :1]) if x.ndim >= 2 else jnp.sum(x[:1])
+
+    NSCAN = 8
+
+    def scanner(fn):
+        @jax.jit
+        def scanN(img_):
+            def body(c, _):
+                r = fn(img_ + c)
+                return jnp.minimum(jnp.abs(to_scalar(r)), 0.0), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=NSCAN)
+            return c
+
+        return scanN
 
     variants = {
-        "bases": f_bases,
-        "atlas": f_atlas,
-        "maps1": f_maps1,
-        "maps": f_maps,
-        "select": f_full,
+        "bases": scanner(f_bases),
+        "atlas": scanner(f_atlas),
+        "maps": scanner(f_maps),
+        "select": scanner(f_select),
+        "extract": scanner(f_extract),
     }
     for name, fn in variants.items():
         t0 = time.time()
-        jax.block_until_ready(fn(img))
+        _ = float(np.asarray(fn(img)))
         print(f"{name}: compile+first {time.time()-t0:.1f}s", flush=True)
 
     rtt = measure_rtt()
     print(f"rtt {rtt:.1f} ms", flush=True)
-    N = 8
     best = {k: float("inf") for k in variants}
-
-    def sync(out):
-        x = out
-        while isinstance(x, (tuple, list)):
-            x = x[0]
-        return float(jnp.sum(x[:1, :1] if x.ndim >= 2 else x[:1]))
-
-    for rep in range(3):
+    for rep in range(4):
         for name, fn in variants.items():
             t0 = time.time()
-            outs = [fn(img) for _ in range(N)]
-            _ = sum(sync(o) for o in outs)
+            _ = float(np.asarray(fn(img)))
             best[name] = min(
-                best[name], max(0.0, (time.time() - t0) * 1000 - rtt) / N
+                best[name],
+                max(0.0, (time.time() - t0) * 1000 - rtt) / NSCAN,
             )
             print(f"  rep {rep} {name}: {best[name]:.2f} ms", flush=True)
-    print("--- detect sub-stages (cumulative) ---", flush=True)
+    print("--- sub-stages (cumulative, per rep) ---", flush=True)
+    prev = 0.0
     for name in variants:
-        print(f"{name}: {best[name]:.2f} ms", flush=True)
+        print(f"{name}: {best[name]:.2f} ms  (delta {best[name]-prev:+.2f})",
+              flush=True)
+        prev = best[name]
 
 
 if __name__ == "__main__":
