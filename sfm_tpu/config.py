@@ -78,6 +78,11 @@ class SiftConfig:
     #             reference's append semantics (cudaSiftD.cu:1420);
     #             keeps ARBITRARY candidates when an octave saturates.
     select: str = "topk"
+    # Block size of the exact 2-level top-k prefilter
+    # (detect._topk_2level): lax.top_k cost ~ level1 n/b + level2 k*b,
+    # balanced at b ~ sqrt(n/k).  8 = the r3 value; the r4 device sweep
+    # at the up-scale capacity class is in NOTES_R4.
+    topk_block: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

@@ -76,34 +76,52 @@ def _decim_band(n_out: int, n_in: int, taps) -> np.ndarray:
     return M
 
 
-def _make_decim_kernel(TH: int, TW: int):
-    """5-tap blur + 2x decimation: output tile [TH, TW] reads the
-    padded source rows [2*i*TH, 2*TH + 16) x cols [2*j*TW, 2*TW + 128).
-    Both decimating blurs run as ONE small matmul each against
-    tile-local band matrices (Mosaic has no stride-2 vector slices):
-    out = Dv [TH, 2TH+16] @ slab @ Dr^T [2TW+128, TW].  f32 MXU at
-    HIGHEST — the result feeds the DoG threshold downstream.
+def _make_decim_kernel(TH: int, TW: int, taps):
+    """5-tap blur + 2x decimation, polyphase.
+
+    The decimated column filter out[x'] = sum_k taps[k] * P[2x'-2+k]
+    touches only the even/odd column PHASES of the padded source at
+    unit stride: with e[x] = P[2x], o[x] = P[2x+1] (phase planes split
+    once in XLA — Mosaic has no stride-2 vector slices) it is
+    t0*e[x'+3] + t2*e[x'+4] + t4*e[x'+5] + t1*o[x'+3] + t3*o[x'+4]
+    (offsets include the 8-px edge pad).  Row decimation stays a small
+    band matmul Dv [TH, 2TH+16] (K ~ 2TH — cheap on the MXU at
+    HIGHEST; the result feeds the DoG threshold downstream).  The r4
+    first cut decimated COLUMNS with a dense [2TW+128, TW] band matmul
+    too: ~2300 redundant FLOPs per output pixel and a VMEM ceiling on
+    TW — this form is ~10 VPU MACs + one K=144 matmul per pixel.
     """
     hi = jax.lax.Precision.HIGHEST
+    t = [np.float32(v) for v in taps]
 
-    def kernel(img_hbm, dv_ref, dr_ref, out_ref, slab_ref, sem):
+    def kernel(e_hbm, o_hbm, dv_ref, out_ref, eslab_ref, oslab_ref,
+               sem_e, sem_o):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            img_hbm.at[pl.ds(2 * i * TH, 2 * TH + 16),
-                       pl.ds(2 * j * TW, 2 * TW + 128)],
-            slab_ref, sem,
+        rows = pl.ds(2 * i * TH, 2 * TH + 16)
+        cols = pl.ds(j * TW, TW + 128)
+        cpe = pltpu.make_async_copy(e_hbm.at[rows, cols], eslab_ref, sem_e)
+        cpo = pltpu.make_async_copy(o_hbm.at[rows, cols], oslab_ref, sem_o)
+        cpe.start()
+        cpo.start()
+        cpe.wait()
+        re = jax.lax.dot_general(
+            dv_ref[...], eslab_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )  # [TH, TW+128]
+        cpo.wait()
+        ro = jax.lax.dot_general(
+            dv_ref[...], oslab_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
         )
-        cp.start()
-        cp.wait()
-        tmp = jax.lax.dot_general(
-            dv_ref[...], slab_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hi,
-        )  # [TH, 2TW+128]
-        out_ref[...] = jax.lax.dot_general(
-            tmp, dr_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hi,
-        )  # [TH, TW]
+
+        def c(a, off):
+            return jax.lax.slice(a, (0, off), (TH, off + TW))
+
+        out_ref[...] = (
+            t[0] * c(re, 3) + t[2] * c(re, 4) + t[4] * c(re, 5)
+            + t[1] * c(ro, 3) + t[3] * c(ro, 4)
+        )
 
     return kernel
 
@@ -126,7 +144,7 @@ def _tiles(H, W, tile_rows, tile_cols):
 @functools.partial(
     jax.jit, static_argnames=("taps", "tile_rows", "tile_cols", "interpret")
 )
-def blur9(img, *, taps, tile_rows: int = 32, tile_cols: int = 1024,
+def blur9(img, *, taps, tile_rows: int = 128, tile_cols: int = 1024,
           interpret: bool = False):
     """Separable edge-clamped blur of [H, W] with static taps (tuple)."""
     H, W = img.shape
@@ -150,28 +168,34 @@ def blur9(img, *, taps, tile_rows: int = 32, tile_cols: int = 1024,
 @functools.partial(
     jax.jit, static_argnames=("taps", "tile_rows", "tile_cols", "interpret")
 )
-def scale_down(img, *, taps, tile_rows: int = 16, tile_cols: int = 512,
+def scale_down(img, *, taps, tile_rows: int = 64, tile_cols: int = 1280,
                interpret: bool = False):
     """5-tap blur + 2x decimation of [H, W] -> [H//2, W//2] (reference
     ScaleDown semantics: edge-clamped blur, then every 2nd pixel)."""
     H, W = img.shape
     Ho, Wo = H // 2, W // 2
     TH, TW, ny, nx = _tiles(Ho, Wo, tile_rows, tile_cols)
-    # Source coverage: rows to 2*ny*TH + 16, cols to 2*nx*TW + 128.
-    imgp = _pad_to(img, 2 * ny, 2 * nx, TH, TW, extra_c=2 * 120)
+    # Source coverage: rows to 2*ny*TH + 16; cols: the PHASE planes
+    # need nx*TW + 128 columns each, so the padded width is
+    # 2*nx*TW + 256 (extra_c = 248 on top of the 8 leading pad cols).
+    imgp = _pad_to(img, 2 * ny, 2 * nx, TH, TW, extra_c=248)
+    e = imgp[:, 0::2]
+    o = imgp[:, 1::2]
     dv = jnp.asarray(_decim_band(TH, 2 * TH + 16, taps))
-    dr = jnp.asarray(_decim_band(TW, 2 * TW + 128, taps).T)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_decim_kernel(TH, TW),
+        _make_decim_kernel(TH, TW, taps),
         out_shape=jax.ShapeDtypeStruct((ny * TH, nx * TW), jnp.float32),
         grid=(ny, nx),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY), vmem, vmem],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY), vmem],
         out_specs=pl.BlockSpec((TH, TW), lambda i, j: (i, j)),
         scratch_shapes=[
-            pltpu.VMEM((2 * TH + 16, 2 * TW + 128), jnp.float32),
+            pltpu.VMEM((2 * TH + 16, TW + 128), jnp.float32),
+            pltpu.VMEM((2 * TH + 16, TW + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(imgp, dv, dr)
+    )(e, o, dv)
     return out[:Ho, :Wo]

@@ -220,7 +220,7 @@ def select_from_maps(resp_px, aux, cfg: SiftConfig) -> Detections:
     elif cfg.select == "approx":
         scores, flat_idx = jax.lax.approx_max_k(flat_resp, k_eff)
     else:
-        scores, flat_idx = _topk_2level(flat_resp, k_eff)
+        scores, flat_idx = _topk_2level(flat_resp, k_eff, block=cfg.topk_block)
     if k_eff < K:
         scores = jnp.pad(scores, (0, K - k_eff), constant_values=-1.0)
         flat_idx = jnp.pad(flat_idx, (0, K - k_eff))
@@ -323,7 +323,7 @@ def detect(dog, cfg: SiftConfig, subsampling: float) -> Detections:
     elif cfg.select == "approx":
         scores, flat_idx = jax.lax.approx_max_k(flat_resp, k_eff)
     else:
-        scores, flat_idx = _topk_2level(flat_resp, k_eff)
+        scores, flat_idx = _topk_2level(flat_resp, k_eff, block=cfg.topk_block)
     if k_eff < K:
         scores = jnp.pad(scores, (0, K - k_eff), constant_values=-1.0)
         flat_idx = jnp.pad(flat_idx, (0, K - k_eff))
