@@ -165,6 +165,107 @@ def blur9(img, *, taps, tile_rows: int = 128, tile_cols: int = 1024,
     return out[:H, :W]
 
 
+def _interleave_perms(TH: int, TW: int):
+    """Permutation matrices for the 2x interleave: out = Pr @ X @ Pc
+    where X = [[ee, eo], [oe, oo]] (block concat).  Pr[2r, r] =
+    Pr[2r+1, TH/2+r] = 1 interleaves row halves; Pc[c, 2c] =
+    Pc[TW/2+c, 2c+1] = 1 interleaves column halves."""
+    TH2, TW2 = TH // 2, TW // 2
+    Pr = np.zeros((TH, TH), np.float32)
+    Pr[2 * np.arange(TH2), np.arange(TH2)] = 1.0
+    Pr[2 * np.arange(TH2) + 1, TH2 + np.arange(TH2)] = 1.0
+    Pc = np.zeros((TW, TW), np.float32)
+    Pc[np.arange(TW2), 2 * np.arange(TW2)] = 1.0
+    Pc[TW2 + np.arange(TW2), 2 * np.arange(TW2) + 1] = 1.0
+    return Pr, Pc
+
+
+def _make_upscale_kernel(TH: int, TW: int):
+    """Bilinear 2x upsample with the reference's interleave semantics
+    (ops/image.scale_up; reference ScaleUp cudaSiftD.cu:170-190):
+    out[2y, 2x] = v[y, x], odd rows/cols are clamped midpoints.  The
+    XLA stack/reshape formulation of the interleave measured 4.0 ms
+    ALONE at the up-scale capacity class (r4 device decomposition,
+    tools/exp_bases.py).  Mosaic rejects minor-dim interleave reshapes
+    (vector<...x2xf32> -> vector<...>), so the interleave runs as two
+    PERMUTATION matmuls on the MXU at HIGHEST — bit-exact for f32
+    (bf16x3 splitting is exact over 24 mantissa bits and every output
+    is a single 1.0*value product).
+    """
+    TH2, TW2 = TH // 2, TW // 2
+    hi = jax.lax.Precision.HIGHEST
+
+    def kernel(img_hbm, pr_ref, pc_ref, out_ref, slab_ref, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            img_hbm.at[pl.ds(i * TH2 + _PAD, TH2 + 8),
+                       pl.ds(j * TW2, TW2 + 128)],
+            slab_ref, sem,
+        )
+        cp.start()
+        cp.wait()
+
+        def sl(dy, dx):
+            return jax.lax.slice(
+                slab_ref[...], (dy, _PAD + dx), (dy + TH2, _PAD + dx + TW2)
+            )
+
+        v = sl(0, 0)
+        vr = sl(0, 1)
+        vd = sl(1, 0)
+        vdr = sl(1, 1)
+        ee = v
+        eo = 0.5 * (v + vr)
+        oe = 0.5 * (v + vd)
+        oo = 0.25 * (v + vr + vd + vdr)
+        x = jnp.concatenate(
+            [jnp.concatenate([ee, eo], axis=1),
+             jnp.concatenate([oe, oo], axis=1)], axis=0
+        )  # [TH, TW]: quadrant layout
+        t = jax.lax.dot_general(
+            pr_ref[...], x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+        out_ref[...] = jax.lax.dot_general(
+            t, pc_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret")
+)
+def scale_up(img, *, tile_rows: int = 64, tile_cols: int = 512,
+             interpret: bool = False):
+    """[H, W] -> [2H, 2W] bilinear upsample (reference interleave
+    semantics, bit-identical to ops/image.scale_up)."""
+    H, W = img.shape
+    Ho, Wo = 2 * H, 2 * W
+    TH, TW, ny, nx = _tiles(Ho, Wo, tile_rows, tile_cols)
+    assert TH % 2 == 0 and TW % 2 == 0 and TH % 16 == 0
+    # Source coverage: rows to ny*TH/2 + 8 past the pad, cols to
+    # nx*TW/2 + 128.
+    imgp = _pad_to(img, ny, nx, TH // 2, TW // 2, extra_c=128)
+    pr, pc = _interleave_perms(TH, TW)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_upscale_kernel(TH, TW),
+        out_shape=jax.ShapeDtypeStruct((ny * TH, nx * TW), jnp.float32),
+        grid=(ny, nx),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), vmem, vmem],
+        out_specs=pl.BlockSpec((TH, TW), lambda i, j: (i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((TH // 2 + 8, TW // 2 + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(imgp, jnp.asarray(pr), jnp.asarray(pc))
+    return out[:Ho, :Wo]
+
+
 @functools.partial(
     jax.jit, static_argnames=("taps", "tile_rows", "tile_cols", "interpret")
 )

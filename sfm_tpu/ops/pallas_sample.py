@@ -502,7 +502,7 @@ def _peak_angle(hs, idx32):
     return 11.25 * peak  # [B,1] degrees
 
 
-def _make_fused_kernel(block_k: int):
+def _make_fused_kernel(block_k: int, phases: int = 4):
     """Block-batched fused kernel.
 
     Per block of `block_k` keypoints: the data-dependent sampling dots
@@ -512,6 +512,11 @@ def _make_fused_kernel(block_k: int):
     [block_k, S] arrays.  The per-keypoint [1, S] row form wastes 7/8
     of every VPU issue (1 of 8 sublanes); batching it cut the kernel
     3.9 -> 1.1 ms on the 2048-slot dino workload (r2).
+
+    phases < 4 truncates the kernel after a phase (1 = patch loads +
+    orientation dots, 2 = + orientation post/peaks, 3 = + descriptor
+    dots) with a reduced write so nothing is DCE'd — profiling only
+    (tools/exp_sample_phase.py); production always runs phases=4.
     """
     def kernel(count_ref, x0_ref, y0_ref, fx_ref, fy_ref, sc_ref, i2_ref,
                img_ref, w2d_ref, wsp_ref, perm_ref, smp_ref,
@@ -540,6 +545,12 @@ def _make_fused_kernel(block_k: int):
                                                  DESC_P))
                 i2rows.append(jnp.full((1, 1), i2_ref[i], jnp.float32))
             ovals = jnp.concatenate(orows, axis=0)         # [B, 484]
+            if phases <= 1:
+                aux8p = jax.lax.broadcasted_iota(jnp.int32, (block_k, 8), 1)
+                out_aux[:, :] = jnp.where(
+                    aux8p == 0, jnp.sum(ovals, axis=1, keepdims=True), 0.0
+                )
+                return
             # --- phase 2: batched orientation post + dual peaks ---
             h = _orient_post_wide(ovals, jnp.concatenate(i2rows, axis=0))
             hlr = jnp.dot(h, smp_ref[:, :],
@@ -574,6 +585,8 @@ def _make_fused_kernel(block_k: int):
                 + jnp.where(aux8 == 1, ori2, 0.0)
                 + jnp.where(aux8 == 2, dup, 0.0)
             ) * vmask
+            if phases <= 2:
+                return
 
             # --- phase 3: per-keypoint descriptor dots at peak 1 ---
             rad = jnp.float32(2.0 * np.pi / 360.0)
@@ -587,6 +600,9 @@ def _make_fused_kernel(block_k: int):
                     ca[k:k + 1, :], sa[k:k + 1, :], sc_ref[i],
                 ))
             vals = jnp.concatenate(vrows, axis=0)          # [B, 1024]
+            if phases <= 3:
+                out_d1[:, :] = vals[:, 0:128] * vmask
+                return
             # --- phase 4: batched descriptor post ---
             out_d1[:, :] = _desc_post_wide(vals, w2d_ref, wsp_ref, perm_ref) * vmask
 
@@ -607,9 +623,11 @@ def _make_fused_kernel(block_k: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret",
+                                             "phases"))
 def fused_orient_descriptor(img, x, y, scale, count=None, *,
-                            block_k: int = 8, interpret: bool = False):
+                            block_k: int = 8, interpret: bool = False,
+                            phases: int = 4):
     """Fused per-keypoint orientation + dual-peak descriptors.
 
     Returns (desc1 [K,128] raw, desc2 [K,128] raw, ori1 [K] deg,
@@ -644,7 +662,7 @@ def fused_orient_descriptor(img, x, y, scale, count=None, *,
         pl.BlockSpec((block_k, 8), lambda kb: (kb, 0), memory_space=pltpu.VMEM),
     )
     d1, d2, aux = pl.pallas_call(
-        _make_fused_kernel(block_k),
+        _make_fused_kernel(block_k, phases=phases),
         out_shape=out_shapes,
         grid=(K // block_k,),
         in_specs=[smem] * 7 + [vmem] * 5,

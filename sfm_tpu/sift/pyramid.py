@@ -171,7 +171,7 @@ def base_chain_pallas(img, cfg: SiftConfig, interpret: bool = False) -> list:
     from sfm_tpu.ops import pallas_pyramid as pp
 
     if cfg.up_scale:
-        img = imops.scale_up(img)
+        img = pp.scale_up(img, interpret=interpret)
     sigma = max(cfg.init_blur, 1e-3)
     lp = tuple(
         float(t)

@@ -51,7 +51,7 @@ def main():
     sd = tuple(float(t) for t in imops.gaussian_kernel(2, 0.5))
 
     def f_up(img_):
-        return imops.scale_up(img_)
+        return pp.scale_up(img_, interpret=interp)
 
     def f_lp(img_):
         return pp.blur9(f_up(img_), taps=lp, interpret=interp)

@@ -98,15 +98,26 @@ def main():
     nv = int(np.asarray(jnp.sum(r.keypoints.valid)))
     print(f"twodisp: compile+first {time.time()-t0:.1f}s feats {nv}",
           flush=True)
+    skip = set()
     t0 = time.time()
-    r = fused1(img)
-    nv1 = int(np.asarray(jnp.sum(r.keypoints.valid)))
-    print(f"fused1: compile+first {time.time()-t0:.1f}s feats {nv1}",
-          flush=True)
+    try:
+        r = fused1(img)
+        nv1 = int(np.asarray(jnp.sum(r.keypoints.valid)))
+        print(f"fused1: compile+first {time.time()-t0:.1f}s feats {nv1}",
+              flush=True)
+    except Exception as e:
+        skip.add("fused1")
+        print(f"fused1: compile FAILED ({type(e).__name__}) — skipped",
+              flush=True)
     t0 = time.time()
-    c = float(np.asarray(scanN(img)))
-    print(f"scanN: compile+first {time.time()-t0:.1f}s carry {c}",
-          flush=True)
+    try:
+        c = float(np.asarray(scanN(img)))
+        print(f"scanN: compile+first {time.time()-t0:.1f}s carry {c}",
+              flush=True)
+    except Exception as e:
+        skip.add("scanN")
+        print(f"scanN: compile FAILED ({type(e).__name__}) — skipped",
+              flush=True)
 
     rtt = measure_rtt()
     print(f"rtt {rtt:.1f} ms", flush=True)
@@ -118,18 +129,21 @@ def main():
         _ = float(sum(jnp.sum(o.descriptors[:1, :1]) for o in outs))
         best["twodisp"] = min(best.get("twodisp", 1e9),
                               max(0.0, (time.time() - t0) * 1e3 - rtt) / N)
-        t0 = time.time()
-        outs = [fused1(img) for _ in range(N)]
-        _ = float(sum(jnp.sum(o.descriptors[:1, :1]) for o in outs))
-        best["fused1"] = min(best.get("fused1", 1e9),
-                             max(0.0, (time.time() - t0) * 1e3 - rtt) / N)
-        t0 = time.time()
-        c = float(np.asarray(scanN(img)))
-        best["scanN"] = min(best.get("scanN", 1e9),
-                            max(0.0, (time.time() - t0) * 1e3 - rtt) / NSCAN)
-        print(f"  rep {rep}: twodisp {best['twodisp']:.2f} "
-              f"fused1 {best['fused1']:.2f} scanN {best['scanN']:.2f} "
-              f"ms/extract", flush=True)
+        if "fused1" not in skip:
+            t0 = time.time()
+            outs = [fused1(img) for _ in range(N)]
+            _ = float(sum(jnp.sum(o.descriptors[:1, :1]) for o in outs))
+            best["fused1"] = min(best.get("fused1", 1e9),
+                                 max(0.0, (time.time() - t0) * 1e3 - rtt) / N)
+        if "scanN" not in skip:
+            t0 = time.time()
+            c = float(np.asarray(scanN(img)))
+            best["scanN"] = min(best.get("scanN", 1e9),
+                                max(0.0, (time.time() - t0) * 1e3 - rtt)
+                                / NSCAN)
+        print(f"  rep {rep}: " + " ".join(
+            f"{k} {v:.2f}" for k, v in best.items()) + " ms/extract",
+            flush=True)
     print("--- summary (ms per extract) ---", flush=True)
     for k, v in best.items():
         print(f"{k}: {v:.2f}", flush=True)
