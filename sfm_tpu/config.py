@@ -57,11 +57,14 @@ class SiftConfig:
     # descriptor_win): the atlas stays in HBM and each keypoint streams
     # a 128-aligned [48, 256] window via async copy, replacing the
     # full-atlas VMEM block + full-width lane rotate of the r3 kernel.
-    # None = auto (currently OFF everywhere: the r4 device A/B measured
-    # it SLOWER at the up-scale capacity class — 10.11 vs 8.77 ms — the
-    # kernel is VPU-bound on per-keypoint tent builds, not on the
-    # full-width rotate).  Kept for re-evaluation on other topologies.
-    sample_window: bool | None = None
+    # None = auto (OFF), True/"hbm" = stream windows from HBM (the r4
+    # A/B measured the HBM form SLOWER at up_t2.0 — 10.11 vs 8.77 ms —
+    # DMA latency per keypoint), "vmem" = keep the atlas VMEM-resident
+    # like the default kernel but window-copy [48, 256] per keypoint
+    # VMEM->VMEM, shrinking the lane rotate from full atlas width
+    # (the rotate alone measured ~4.5 ms of the 9.5 ms kernel at
+    # up_t2.0 — phase0, tools/exp_sample_phase.py).
+    sample_window: bool | str | None = None
     # LEAN detect kernel (ops/pallas_detect.py lean=True): the dense
     # kernel emits 11 raw refinement coefficients and the quadratic
     # solve (divisions + exp2) runs post-top-k in XLA on the K gathered
@@ -78,6 +81,23 @@ class SiftConfig:
     #             reference's append semantics (cudaSiftD.cu:1420);
     #             keeps ARBITRARY candidates when an octave saturates.
     select: str = "topk"
+    # Second-peak (duplicate) descriptors as a SEPARATE compacted
+    # kernel launch instead of the fused kernel's per-keypoint gated
+    # branch: the gated branch runs in narrow [1, S] layout and
+    # measured 2.0 ms of the 9.5 ms kernel at up_t2.0 for ~12%%
+    # duplicates (tools/exp_sample_phase.py phase4->5); the split
+    # compacts duplicates and batches them wide through
+    # descriptor_sample at ~0.3 ms.  None = auto (on with Pallas).
+    dup_split: bool | None = None
+    # PROFILING ONLY: truncate the fused sampling kernel after phase
+    # 0 (patch loads/rolls), 1 (+ orientation dots), 2 (+ orientation
+    # post), 3 (+ descriptor dots), or 4 (+ descriptor post); 5 =
+    # full kernel (the only production value).  Outputs are garbage
+    # below 5 — used by
+    # tools/exp_sample_phase.py, which cannot jit the kernel
+    # standalone (the 43 MB atlas operand OOMs scoped VMEM outside
+    # the production program shape).
+    sample_phases: int = 5
     # Block size of the exact 2-level top-k prefilter
     # (detect._topk_2level): lax.top_k cost ~ level1 n/b + level2 k*b,
     # balanced at b ~ sqrt(n/k).  8 = the r3 value; the r4 device sweep

@@ -135,6 +135,20 @@ def _atan2(y, x):
     return jnp.where(y < 0, -r, r)
 
 
+def page_atlas(img, P=DESC_P):
+    """[H, W] atlas -> [nb, Hp, 128] page-major form for the blk
+    loaders (_load_patch_blk).  MUST run in the PRODUCER program (the
+    detect stage): a >=16 MB Pallas VMEM operand compiles only as a
+    program PARAMETER — as an in-program intermediate XLA stages it on
+    the kernel's VMEM stack and OOMs the 16 MB scoped limit (r4,
+    NOTES_R4)."""
+    img = _pad_for_kernel(img, P)
+    if img.shape[1] < 256:
+        img = jnp.pad(img, ((0, 0), (0, 256 - img.shape[1])), mode="edge")
+    Hp, Wp = img.shape
+    return jnp.transpose(img.reshape(Hp, Wp // 128, 128), (1, 0, 2))
+
+
 def _pad_for_kernel(img, P):
     """Pad to H multiple of 8 and >= P+8, W a multiple of 128 and >= P
     (edge replicate): 8-aligned sublane slices stay in bounds and the
@@ -168,6 +182,30 @@ def _load_patch(img_ref, x0, y0, P):
     rolled = pltpu.roll(rows, shift=jax.lax.rem(W - x0, W), axis=1)
     patch = rolled[:, :P]                          # [P+8, P]
     return patch, (y0 - y0a).astype(jnp.float32)
+
+
+def _load_patch_blk(img_ref, x0, y0, P):
+    """[P + 8, P] patch from a PAGED atlas [nb, Ha, 128].
+
+    The full-width form (_load_patch) lane-rotates [P+8, W] per
+    keypoint — ~4.5 ms of the 9.5 ms kernel at the up-scale atlas
+    width W=2560 (phase0, tools/exp_sample_phase.py), scaling with W.
+    With the atlas pre-paged into 128-column blocks, Mosaic allows a
+    DYNAMIC slice on the leading (page) dimension, so the patch loads
+    two pages [2, P+8, 128] and the rotate shrinks to 256 lanes —
+    ~10x less rotate work, independent of atlas width.
+    """
+    nb, H, _ = img_ref.shape
+    rows_n = P + 8
+    y0a = jnp.minimum((y0 // 8) * 8, H - rows_n)
+    y0a = jnp.maximum(y0a, 0)
+    y0a = pl.multiple_of(y0a, 8)
+    b = jnp.minimum(x0 // 128, nb - 2)
+    slab = img_ref[pl.ds(b, 2), pl.ds(y0a, rows_n), :]   # [2, P+8, 128]
+    win = jnp.concatenate([slab[0], slab[1]], axis=1)    # [P+8, 256]
+    dxc = x0 - b * 128
+    rolled = pltpu.roll(win, shift=jax.lax.rem(256 - dxc, 256), axis=1)
+    return rolled[:, :P], (y0 - y0a).astype(jnp.float32)
 
 
 # dot_general dimension numbers for the wide (samples-in-lanes) layout.
@@ -281,16 +319,17 @@ def _desc_post_wide(vals, w2dw_ref, wsp16_ref, perm_ref):
 
 
 def _descriptor_one(img_ref, w2dw_ref, wsp16_ref, perm_ref, x0, y0, fx, fy,
-                    cosa, sina, scale):
+                    cosa, sina, scale, blk=False):
     """One unnormalized [1, 128] descriptor row (loads its own patch)."""
-    patch, dy_off = _load_patch(img_ref, x0, y0, DESC_P)
+    loader = _load_patch_blk if blk else _load_patch
+    patch, dy_off = loader(img_ref, x0, y0, DESC_P)
     return _descriptor_from_patch_wide(
         patch, w2dw_ref, wsp16_ref, perm_ref, fx, fy + dy_off, cosa, sina,
         scale
     )
 
 
-def _make_descriptor_kernel(block_k: int):
+def _make_descriptor_kernel(block_k: int, blk: bool = False):
     def kernel(count_ref, x0_ref, y0_ref, fx_ref, fy_ref, ca_ref, sa_ref,
                sc_ref, img_ref, w2d_ref, wsp_ref, perm_ref, out_ref):
         kb = pl.program_id(0)
@@ -305,25 +344,34 @@ def _make_descriptor_kernel(block_k: int):
                 d = _descriptor_one(
                     img_ref, w2d_ref, wsp_ref, perm_ref, x0_ref[i],
                     y0_ref[i], fx_ref[i], fy_ref[i], ca_ref[i], sa_ref[i],
-                    sc_ref[i],
+                    sc_ref[i], blk=blk,
                 )
                 out_ref[k, :] = d[0, :]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret",
+                                             "blk"))
 def descriptor_sample(img, x, y, scale, orientation_deg, count=None, *,
-                      block_k: int = 8, interpret: bool = False):
+                      block_k: int = 8, interpret: bool = False,
+                      blk: bool = False):
     """[K, 128] raw (unnormalized) descriptors via the Pallas kernel.
 
     img: [H, W] f32 octave base; x/y/scale in octave coords;
     orientation in degrees.  K must be a multiple of block_k.
     """
     K = x.shape[0]
-    H, W = img.shape
     P = DESC_P
-    img = _pad_for_kernel(img, P)
+    if img.ndim == 3:
+        # Pre-paged atlas (page_atlas in the producer program).
+        assert blk, '3D (paged) atlas requires blk=True'
+        H, W = img.shape[1], img.shape[0] * 128
+    else:
+        H, W = img.shape
+        img = _pad_for_kernel(img, P)
+        if blk:
+            img = page_atlas(img, P)
     theta = orientation_deg * (2.0 * np.pi / 360.0)
     cosa = jnp.cos(theta)
     sina = jnp.sin(theta)
@@ -339,7 +387,7 @@ def descriptor_sample(img, x, y, scale, orientation_deg, count=None, *,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_descriptor_kernel(block_k),
+        _make_descriptor_kernel(block_k, blk=blk),
         out_shape=jax.ShapeDtypeStruct((K, 128), jnp.float32),
         grid=(K // block_k,),
         in_specs=[smem] * 8 + [vmem] * 4,
@@ -352,6 +400,15 @@ def descriptor_sample(img, x, y, scale, orientation_deg, count=None, *,
     return out
 
 
+# Orientation sampling precision: the histogram takes central
+# differences of the sampled values, so single-pass bf16 MXU inputs
+# put ~3% noise on the gradients (r2 device study, tools/diag_hist.py)
+# — the dot needs a multi-pass precision.  HIGH (bf16x3) covers the
+# full 24-bit f32 mantissa of each operand; the r4 device A/B vs
+# HIGHEST (bf16x6) is in NOTES_R4.
+_ORI_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _orient_sample_wide(patch, fx, fy, P):
     """Sample the 484 orientation positions -> [1, 484] values."""
     # s = grp*121 + yd*11 + xd in [1, 484] row layout.
@@ -362,15 +419,19 @@ def _orient_sample_wide(patch, fx, fy, P):
     gx = jnp.where(grp == 0, 1.0, jnp.where(grp == 1, -1.0, 0.0))
     gy = jnp.where(grp == 2, 1.0, jnp.where(grp == 3, -1.0, 0.0))
     return _sample_matmul_wide(patch, fx + xd + gx, fy + yd + gy, P,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=_ORI_PRECISION)
 
 
 def _orient_post_wide(vals, inv2s2):
     """Orientation post: [B, 484] sample values + [B, 1] Gaussian
-    exponents -> [B, 32] histograms.  Elementwise batched over B rows;
-    the data-dependent bin one-hot contraction loops per row (see
-    _desc_post_wide)."""
-    B = vals.shape[0]
+    exponents -> [B, 32] histograms.
+
+    Fully batched over keypoints (r4): the bin contraction runs as 32
+    masked lane-reductions of the WHOLE [B, 121] weighted-gradient
+    block (one select + one row-sum per bin, no matmuls).  The r2/r3
+    form built a data-dependent [32, 121] one-hot and an M=1 matmul
+    PER KEYPOINT — ~1.3 ms of the fused kernel at up_t2.0 (phase1->2
+    delta, tools/exp_sample_phase.py)."""
     dx = vals[:, 0:121] - vals[:, 121:242]
     dy = vals[:, 242:363] - vals[:, 363:484]
     grad = jnp.sqrt(dx * dx + dy * dy)                     # [B, 121]
@@ -381,15 +442,12 @@ def _orient_post_wide(vals, inv2s2):
     bins = jnp.floor(16.0 / np.pi * _atan2(dy, dx) + 16.5)
     bins = jnp.where(bins > 31.0, 0.0, bins)
     gw = grad * w
-    iota32 = jax.lax.broadcasted_iota(
-        jnp.int32, (32, 121), 0).astype(jnp.float32)
-    rows = []
-    for k in range(B):
-        oh = jnp.where(iota32 == bins[k:k + 1, :], 1.0, 0.0)  # [32, 121]
-        rows.append(jax.lax.dot_general(
-            gw[k:k + 1, :], oh, _DN_LANE, preferred_element_type=jnp.float32
-        ))
-    return rows[0] if B == 1 else jnp.concatenate(rows, axis=0)  # [B, 32]
+    cols = [
+        jnp.sum(jnp.where(bins == np.float32(k), gw, 0.0), axis=1,
+                keepdims=True)
+        for k in range(32)
+    ]
+    return jnp.concatenate(cols, axis=1)                   # [B, 32]
 
 
 def _orientation_hist_from_patch_wide(patch, fx, fy, inv2s2, P):
@@ -502,7 +560,7 @@ def _peak_angle(hs, idx32):
     return 11.25 * peak  # [B,1] degrees
 
 
-def _make_fused_kernel(block_k: int, phases: int = 4):
+def _make_fused_kernel(block_k: int, phases: int = 5, blk: bool = False):
     """Block-batched fused kernel.
 
     Per block of `block_k` keypoints: the data-dependent sampling dots
@@ -513,10 +571,12 @@ def _make_fused_kernel(block_k: int, phases: int = 4):
     of every VPU issue (1 of 8 sublanes); batching it cut the kernel
     3.9 -> 1.1 ms on the 2048-slot dino workload (r2).
 
-    phases < 4 truncates the kernel after a phase (1 = patch loads +
-    orientation dots, 2 = + orientation post/peaks, 3 = + descriptor
-    dots) with a reduced write so nothing is DCE'd — profiling only
-    (tools/exp_sample_phase.py); production always runs phases=4.
+    phases < 5 truncates the kernel after a phase (0 = patch
+    loads/rolls only, 1 = + orientation dots, 2 = + orientation
+    post/peaks, 3 = + descriptor dots, 4 = + descriptor post —
+    everything but the second-peak descriptors) with a reduced write
+    so nothing is DCE'd — profiling only (tools/exp_sample_phase.py);
+    production always runs phases=5.
     """
     def kernel(count_ref, x0_ref, y0_ref, fx_ref, fy_ref, sc_ref, i2_ref,
                img_ref, w2d_ref, wsp_ref, perm_ref, smp_ref,
@@ -528,6 +588,9 @@ def _make_fused_kernel(block_k: int, phases: int = 4):
 
         @pl.when(kb * block_k < count_ref[0])
         def _():
+            if phases < 0:
+                # Empty kernel: measures launch + XLA glue only.
+                return
             # --- phase 1: per-keypoint patch loads + orientation dots ---
             patches = []
             fxs = []
@@ -536,13 +599,19 @@ def _make_fused_kernel(block_k: int, phases: int = 4):
             i2rows = []
             for k in range(block_k):
                 i = kb * block_k + k
-                patch, dy_off = _load_patch(img_ref, x0_ref[i], y0_ref[i],
-                                            DESC_P)
+                loader = _load_patch_blk if blk else _load_patch
+                patch, dy_off = loader(img_ref, x0_ref[i], y0_ref[i],
+                                       DESC_P)
                 patches.append(patch)
                 fxs.append(fx_ref[i])
                 fys.append(fy_ref[i] + dy_off)
-                orows.append(_orient_sample_wide(patch, fxs[k], fys[k],
-                                                 DESC_P))
+                if phases >= 1:
+                    orows.append(_orient_sample_wide(patch, fxs[k],
+                                                     fys[k], DESC_P))
+                else:
+                    orows.append(
+                        jnp.sum(patch, axis=0, keepdims=True)[:, :1]
+                        * jnp.ones((1, 484), jnp.float32))
                 i2rows.append(jnp.full((1, 1), i2_ref[i], jnp.float32))
             ovals = jnp.concatenate(orows, axis=0)         # [B, 484]
             if phases <= 1:
@@ -606,6 +675,8 @@ def _make_fused_kernel(block_k: int, phases: int = 4):
             # --- phase 4: batched descriptor post ---
             out_d1[:, :] = _desc_post_wide(vals, w2d_ref, wsp_ref, perm_ref) * vmask
 
+            if phases <= 4:
+                return
             # --- phase 5: gated second-peak descriptors (rare) ---
             for k in range(block_k):
                 i = kb * block_k + k
@@ -624,10 +695,10 @@ def _make_fused_kernel(block_k: int, phases: int = 4):
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret",
-                                             "phases"))
+                                             "phases", "blk"))
 def fused_orient_descriptor(img, x, y, scale, count=None, *,
                             block_k: int = 8, interpret: bool = False,
-                            phases: int = 4):
+                            phases: int = 5, blk: bool = False):
     """Fused per-keypoint orientation + dual-peak descriptors.
 
     Returns (desc1 [K,128] raw, desc2 [K,128] raw, ori1 [K] deg,
@@ -635,10 +706,20 @@ def fused_orient_descriptor(img, x, y, scale, count=None, *,
     False.  Callers normalize with describe.normalize_descriptors.
     """
     K = x.shape[0]
-    H, W = img.shape
     P = DESC_P
-    img = _pad_for_kernel(img, P)
-    Hp, Wp = img.shape
+    if img.ndim == 3:
+        # Pre-paged atlas (page_atlas in the producer program).
+        assert blk, "3D (paged) atlas requires blk=True"
+        nb, Hp, _ = img.shape
+        Wp = nb * 128
+    else:
+        img = _pad_for_kernel(img, P)
+        if blk:
+            img = page_atlas(img, P)
+            nb, Hp, _ = img.shape
+            Wp = nb * 128
+        else:
+            Hp, Wp = img.shape
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32) - P // 2 + 1, 0, max(Wp - P, 0))
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32) - P // 2 + 1, 0, max(Hp - P, 0))
     fx = x - x0.astype(jnp.float32)
@@ -662,7 +743,7 @@ def fused_orient_descriptor(img, x, y, scale, count=None, *,
         pl.BlockSpec((block_k, 8), lambda kb: (kb, 0), memory_space=pltpu.VMEM),
     )
     d1, d2, aux = pl.pallas_call(
-        _make_fused_kernel(block_k, phases=phases),
+        _make_fused_kernel(block_k, phases=phases, blk=blk),
         out_shape=out_shapes,
         grid=(K // block_k,),
         in_specs=[smem] * 7 + [vmem] * 5,
@@ -700,7 +781,7 @@ def fused_orient_descriptor(img, x, y, scale, count=None, *,
 _WIN = 256  # DMA window width: 128 (alignment) + patch 40, padded to 2 regs
 
 
-def _make_fused_kernel_win(block_k: int):
+def _make_fused_kernel_win(block_k: int, phases: int = 5):
     """Windowed-DMA variant of _make_fused_kernel: identical math, but
     patches arrive via per-keypoint async copies from HBM instead of
     full-width rotates of a VMEM-resident atlas."""
@@ -803,6 +884,8 @@ def _make_fused_kernel_win(block_k: int):
             # --- phase 4: batched descriptor post ---
             out_d1[:, :] = _desc_post_wide(vals, w2d_ref, wsp_ref, perm_ref) * vmask
 
+            if phases <= 4:
+                return
             # --- phase 5: gated second-peak descriptors (rare) ---
             for k in range(block_k):
                 i = kb * block_k + k
@@ -820,13 +903,22 @@ def _make_fused_kernel_win(block_k: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret",
+                                             "src_vmem", "phases"))
 def fused_orient_descriptor_win(img, x, y, scale, count=None, *,
-                                block_k: int = 8, interpret: bool = False):
+                                block_k: int = 8, interpret: bool = False,
+                                src_vmem: bool = False, phases: int = 5):
     """Windowed-DMA fused orientation + dual-peak descriptors.
 
     Same contract as fused_orient_descriptor; the atlas stays in HBM
-    and each keypoint streams a [48, 256] window via async copy.
+    (src_vmem=False) or resident in VMEM (src_vmem=True) and each
+    keypoint streams a [48, 256] window via async copy.  The VMEM
+    source keeps the r3 kernel's atlas residency but swaps its
+    full-width [48, W] lane rotate for a [48, 256] one — the rotate
+    measured ~4.5 ms of the 9.5 ms kernel at up_t2.0 (phase0,
+    tools/exp_sample_phase.py), scaling with atlas WIDTH, while a
+    VMEM->VMEM window copy has none of the HBM DMA latency that made
+    the r4 HBM-windowed variant SLOWER (10.11 vs 8.77 ms).
     """
     K = x.shape[0]
     P = DESC_P
@@ -871,10 +963,11 @@ def fused_orient_descriptor_win(img, x, y, scale, count=None, *,
                      memory_space=pltpu.VMEM),
     )
     d1, d2, aux = pl.pallas_call(
-        _make_fused_kernel_win(block_k),
+        _make_fused_kernel_win(block_k, phases=phases),
         out_shape=out_shapes,
         grid=(K // block_k,),
-        in_specs=[smem] * 8 + [pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[smem] * 8
+        + [vmem if src_vmem else pl.BlockSpec(memory_space=pltpu.ANY)]
         + [vmem] * 4,
         out_specs=out_specs,
         scratch_shapes=[

@@ -179,6 +179,13 @@ def _detect_impl(img, cfg: SiftConfig, mats):
                                         interpret=interp)
             dets.append(d._replace(y=d.y + off))
             sub *= 2.0
+        if cfg.sample_window == "blk":
+            # Page the atlas HERE, in the producer program: a >=16 MB
+            # Pallas VMEM operand compiles only as a program PARAMETER
+            # of the sampling program (pallas_sample.page_atlas).
+            from sfm_tpu.ops import pallas_sample
+
+            atlas = pallas_sample.page_atlas(atlas)
         return atlas, dets
     octaves = pyramid.build_pyramid(img, cfg, mats if mats else None)
     atlas, offsets = _build_atlas([o.base for o in octaves])
@@ -286,16 +293,44 @@ def _sample_stage(atlas, offsets, subs, dets, cfg: SiftConfig,
         # SLOWER on device (10.11 vs 8.77 ms at up_t2.0, r4 A/B via
         # tools/exp_sample_win.py) — the kernel is VPU-bound on the
         # per-keypoint tent builds, not the full-width rotate.
-        fused_fn = (pallas_sample.fused_orient_descriptor_win
-                    if cfg.sample_window
-                    else pallas_sample.fused_orient_descriptor)
+        interp = jax.default_backend() == "cpu"
+        # Duplicate-descriptor split (r4): the fused kernel's gated
+        # per-keypoint second-peak branch runs in narrow [1, S] layout
+        # and measured 2.0 ms at up_t2.0 for ~12% duplicates (phase4
+        # vs 5, tools/exp_sample_phase.py); splitting compacts the
+        # duplicates and batches them wide through descriptor_sample.
+        dup_split = (cfg.dup_split if cfg.dup_split is not None
+                     else cfg.orientation_duplicates)
+        phases = cfg.sample_phases
+        if phases == 5 and dup_split:
+            phases = 4
+        blk = atlas.ndim == 3
+        if cfg.sample_window == "blk":
+            fused_fn = functools.partial(
+                pallas_sample.fused_orient_descriptor, blk=blk)
+        elif cfg.sample_window:
+            fused_fn = functools.partial(
+                pallas_sample.fused_orient_descriptor_win,
+                src_vmem=(cfg.sample_window == "vmem"),
+            )
+        else:
+            fused_fn = pallas_sample.fused_orient_descriptor
+        kw = {"phases": phases} if phases != 5 else {}
         d1, d2, ori1, ori2, dup = fused_fn(
             atlas, x_a, y_a, sc_a, count=jnp.sum(valid_a, dtype=jnp.int32),
-            interpret=jax.default_backend() == "cpu",
+            interpret=interp, **kw,
         )
         valid2 = dup & valid_a
         if not cfg.orientation_duplicates:
             valid2 = jnp.zeros_like(valid2)
+        elif dup_split and cfg.sample_phases == 5:
+            order_d = compaction_order(valid2)
+            d2_raw = pallas_sample.descriptor_sample(
+                atlas, x_a[order_d], y_a[order_d], sc_a[order_d],
+                ori2[order_d], count=jnp.sum(valid2, dtype=jnp.int32),
+                interpret=interp, blk=blk,
+            )
+            d2 = jnp.zeros_like(d1).at[order_d].set(d2_raw)
         desc = describe.normalize_descriptors(jnp.concatenate([d1, d2]))
         x2 = jnp.concatenate([x_a, x_a])
         y2 = jnp.concatenate([y_a, y_a])

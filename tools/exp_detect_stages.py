@@ -120,6 +120,8 @@ def main():
         x = out
         while isinstance(x, (tuple, list)):
             x = x[0]
+        if x.ndim == 0:
+            return x
         return jnp.sum(x[:1, :1]) if x.ndim >= 2 else jnp.sum(x[:1])
 
     NSCAN = 8

@@ -83,26 +83,28 @@ def main():
           f"in {x_a.shape[0]} slots", flush=True)
     jax.block_until_ready((atlas, x_a, y_a, sc_a))
 
-    # Chained dispatches, NOT scan-chained: a Pallas call whose 43 MB
-    # atlas input sits inside a scan body is staged on the VMEM stack
-    # and OOMs the 16 MB scoped limit (same failure as the r4 probe);
-    # as a standalone program the atlas is a persistent VMEM buffer.
-    # Clean-process dispatch tax is ~0.2-0.4 ms (exp_scan_extract).
+    # The kernel cannot be jitted standalone (the 43 MB atlas operand
+    # OOMs scoped VMEM outside the production program shape), so each
+    # phase runs through the REAL _sample_stage program via the
+    # SiftConfig.sample_phases debug knob, chained-dispatch timed
+    # (clean-process dispatch tax ~0.2-0.4 ms, exp_scan_extract).
+    offsets_l, subs_l = frontend.atlas_layout(img.shape, cfg)
+    use_pallas = frontend._use_pallas(cfg)
     NSCAN = 8
 
     def runner(p):
-        def run(x_):
-            return pallas_sample.fused_orient_descriptor(
-                atlas, x_, y_a, sc_a, count=count,
-                interpret=interp, phases=p,
-            )
+        cfg_p = dataclasses.replace(cfg, sample_phases=p)
+
+        def run():
+            return frontend._sample_stage(atlas, offsets_l, subs_l, dets,
+                                          cfg_p, use_pallas)
 
         return run
 
-    variants = {f"phase{p}": runner(p) for p in (1, 2, 3, 4)}
+    variants = {f"phase{p}": runner(p) for p in (-1, 0, 1, 2, 3, 4, 5)}
     for name, fn in variants.items():
         t0 = time.time()
-        jax.block_until_ready(fn(x_a))
+        jax.block_until_ready(fn())
         print(f"{name}: compile+first {time.time()-t0:.1f}s", flush=True)
 
     rtt = measure_rtt()
@@ -111,9 +113,8 @@ def main():
     for rep in range(4):
         for name, fn in variants.items():
             t0 = time.time()
-            outs = [fn(x_a) for _ in range(NSCAN)]
-            _ = float(sum(jnp.sum(o[2][:1]) + jnp.sum(o[0][0, :1])
-                          for o in outs))
+            outs = [fn() for _ in range(NSCAN)]
+            _ = float(sum(jnp.sum(o.descriptors[:1, :1]) for o in outs))
             best[name] = min(
                 best[name],
                 max(0.0, (time.time() - t0) * 1000 - rtt) / NSCAN,

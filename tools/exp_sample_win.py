@@ -67,6 +67,8 @@ def main():
     variants = {
         "atlas-vmem": dataclasses.replace(cfg, sample_window=False),
         "window-dma": dataclasses.replace(cfg, sample_window=True),
+        "window-vmem": dataclasses.replace(cfg, sample_window="vmem"),
+        "paged-blk": dataclasses.replace(cfg, sample_window="blk"),
     }
     outs = {}
     for name, c in variants.items():
@@ -79,16 +81,21 @@ def main():
 
     # Output parity (descriptors at matched slot order; the two kernels
     # share compaction, so slots align 1:1).
-    a, b = outs["atlas-vmem"], outs["window-dma"]
+    a = outs["atlas-vmem"]
     va = np.asarray(a.keypoints.valid)
     da = np.asarray(a.descriptors)[va]
-    db = np.asarray(b.descriptors)[np.asarray(b.keypoints.valid)]
-    if da.shape == db.shape:
-        corr = (da * db).sum(1) / np.maximum((da * da).sum(1), 1e-12)
-        print(f"desc agreement: n={len(corr)} min_corr={corr.min():.6f} "
-              f"frac>0.999={float((corr > 0.999).mean()):.4f}", flush=True)
-    else:
-        print(f"VALID COUNT MISMATCH: {da.shape} vs {db.shape}", flush=True)
+    for other in ("window-dma", "window-vmem", "paged-blk"):
+        b = outs[other]
+        db = np.asarray(b.descriptors)[np.asarray(b.keypoints.valid)]
+        if da.shape == db.shape:
+            corr = (da * db).sum(1) / np.maximum((da * da).sum(1), 1e-12)
+            print(f"{other} desc agreement: n={len(corr)} "
+                  f"min_corr={corr.min():.6f} "
+                  f"frac>0.999={float((corr > 0.999).mean()):.4f}",
+                  flush=True)
+        else:
+            print(f"{other} VALID COUNT MISMATCH: {da.shape} vs {db.shape}",
+                  flush=True)
 
     rtt = measure_rtt()
     print(f"rtt {rtt:.1f} ms", flush=True)
