@@ -351,11 +351,48 @@ def _make_descriptor_kernel(block_k: int, blk: bool = False):
     return kernel
 
 
+def _make_descriptor_kernel_wide(block_k: int, blk: bool = False):
+    """Block-batched descriptor-only kernel (r4): per-keypoint patch
+    loads + sampling dots, then ONE batched _desc_post_wide per block
+    — the same wide layout as the fused kernel's phases 3-4.  Used by
+    the duplicate-descriptor split (frontend._sample_stage): the
+    narrow per-keypoint kernel (_make_descriptor_kernel) wastes 7/8 of
+    every VPU issue and measured +3.5 ms at up_t2.0 for ~1.5k
+    duplicates (phase4->5 delta, tools/exp_sample_phase.py)."""
+
+    def kernel(count_ref, x0_ref, y0_ref, fx_ref, fy_ref, ca_ref, sa_ref,
+               sc_ref, img_ref, w2d_ref, wsp_ref, perm_ref, out_ref):
+        kb = pl.program_id(0)
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        @pl.when(kb * block_k < count_ref[0])
+        def _():
+            loader = _load_patch_blk if blk else _load_patch
+            vrows = []
+            for k in range(block_k):
+                i = kb * block_k + k
+                patch, dy_off = loader(img_ref, x0_ref[i], y0_ref[i],
+                                       DESC_P)
+                ca = jnp.full((1, 1), ca_ref[i], jnp.float32)
+                sa = jnp.full((1, 1), sa_ref[i], jnp.float32)
+                vrows.append(_desc_sample_wide(
+                    patch, fx_ref[i], fy_ref[i] + dy_off, ca, sa,
+                    sc_ref[i]))
+            vals = jnp.concatenate(vrows, axis=0)          # [B, 1024]
+            slot = jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 1), 0) + kb * block_k
+            vmask = (slot < count_ref[0]).astype(jnp.float32)
+            out_ref[:, :] = _desc_post_wide(
+                vals, w2d_ref, wsp_ref, perm_ref) * vmask
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret",
-                                             "blk"))
+                                             "blk", "wide"))
 def descriptor_sample(img, x, y, scale, orientation_deg, count=None, *,
                       block_k: int = 8, interpret: bool = False,
-                      blk: bool = False):
+                      blk: bool = False, wide: bool = False):
     """[K, 128] raw (unnormalized) descriptors via the Pallas kernel.
 
     img: [H, W] f32 octave base; x/y/scale in octave coords;
@@ -387,7 +424,8 @@ def descriptor_sample(img, x, y, scale, orientation_deg, count=None, *,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_descriptor_kernel(block_k, blk=blk),
+        (_make_descriptor_kernel_wide if wide else
+         _make_descriptor_kernel)(block_k, blk=blk),
         out_shape=jax.ShapeDtypeStruct((K, 128), jnp.float32),
         grid=(K // block_k,),
         in_specs=[smem] * 8 + [vmem] * 4,
@@ -426,12 +464,11 @@ def _orient_post_wide(vals, inv2s2):
     """Orientation post: [B, 484] sample values + [B, 1] Gaussian
     exponents -> [B, 32] histograms.
 
-    Fully batched over keypoints (r4): the bin contraction runs as 32
-    masked lane-reductions of the WHOLE [B, 121] weighted-gradient
-    block (one select + one row-sum per bin, no matmuls).  The r2/r3
-    form built a data-dependent [32, 121] one-hot and an M=1 matmul
-    PER KEYPOINT — ~1.3 ms of the fused kernel at up_t2.0 (phase1->2
-    delta, tools/exp_sample_phase.py)."""
+    Elementwise work batched over B rows; the data-dependent bin
+    one-hot contraction loops per row (an r4 attempt at 32 masked
+    lane-reductions over the whole block measured SLOWER on device —
+    phase1->2 delta 1.36 -> 2.43 ms at up_t2.0, NOTES_R4)."""
+    B = vals.shape[0]
     dx = vals[:, 0:121] - vals[:, 121:242]
     dy = vals[:, 242:363] - vals[:, 363:484]
     grad = jnp.sqrt(dx * dx + dy * dy)                     # [B, 121]
@@ -442,12 +479,15 @@ def _orient_post_wide(vals, inv2s2):
     bins = jnp.floor(16.0 / np.pi * _atan2(dy, dx) + 16.5)
     bins = jnp.where(bins > 31.0, 0.0, bins)
     gw = grad * w
-    cols = [
-        jnp.sum(jnp.where(bins == np.float32(k), gw, 0.0), axis=1,
-                keepdims=True)
-        for k in range(32)
-    ]
-    return jnp.concatenate(cols, axis=1)                   # [B, 32]
+    iota32 = jax.lax.broadcasted_iota(
+        jnp.int32, (32, 121), 0).astype(jnp.float32)
+    rows = []
+    for k in range(B):
+        oh = jnp.where(iota32 == bins[k:k + 1, :], 1.0, 0.0)  # [32, 121]
+        rows.append(jax.lax.dot_general(
+            gw[k:k + 1, :], oh, _DN_LANE, preferred_element_type=jnp.float32
+        ))
+    return rows[0] if B == 1 else jnp.concatenate(rows, axis=0)  # [B, 32]
 
 
 def _orientation_hist_from_patch_wide(patch, fx, fy, inv2s2, P):

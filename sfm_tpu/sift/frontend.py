@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sfm_tpu.config import SiftConfig
 from sfm_tpu.ops.compact import compaction_order
@@ -80,6 +81,19 @@ def _use_pallas_pyramid(cfg: SiftConfig) -> bool:
     # device profile, NOTES_R4).  CPU keeps the matmul/conv path;
     # interpret-mode parity is test-only.
     return _use_fused_detect(cfg) and jax.default_backend() != "cpu"
+
+
+def _sample_mode(cfg: SiftConfig):
+    """Resolved sampling-kernel mode: False (full-width roll), True/
+    "hbm" (HBM windowed DMA), "vmem" (VMEM windowed DMA), or "blk"
+    (paged atlas).  Auto (None) = "blk" on TPU: device A/B at up_t2.0
+    (tools/exp_sample_win.py, r4) measured the sample stage at
+    9.60 (roll) / 11.05 (hbm window) / 7.79 ms (blk) with descriptor
+    agreement 1.0; CPU keeps the roll path (interpret parity tests
+    cover blk separately)."""
+    if cfg.sample_window is not None:
+        return cfg.sample_window
+    return "blk" if jax.default_backend() != "cpu" else False
 
 
 def _build_atlas(bases):
@@ -179,7 +193,7 @@ def _detect_impl(img, cfg: SiftConfig, mats):
                                         interpret=interp)
             dets.append(d._replace(y=d.y + off))
             sub *= 2.0
-        if cfg.sample_window == "blk":
+        if _sample_mode(cfg) == "blk" and _use_pallas(cfg):
             # Page the atlas HERE, in the producer program: a >=16 MB
             # Pallas VMEM operand compiles only as a program PARAMETER
             # of the sampling program (pallas_sample.page_atlas).
@@ -269,10 +283,31 @@ def _sample_stage(atlas, offsets, subs, dets, cfg: SiftConfig,
     # detections (|interpolated DoG response|) across octaves — a plain
     # front-compaction would drop whole coarse octaves (concat order).
     cap = cfg.sample_cap
-    if cap and cap < valid_a.shape[0]:
+    K_slots = valid_a.shape[0]
+    if cap and cap < K_slots and K_slots <= 16384:
+        # Exact global strength ranking: at quality-config sizes the
+        # cap BINDS (dino: ~2.5k detections in 5120 slots with
+        # cap 2560), so the kept SET must be the globally strongest,
+        # and the sort is cheap at this n.
         strength = jnp.where(valid_a, jnp.abs(sharp_a), -1.0)
         _, order = jax.lax.top_k(strength, cap)
         order = order.astype(jnp.int32)
+    elif cap and cap < K_slots:
+        # Capacity-class sizes (up-scale: 40960 slots): the exact
+        # top-k is a 2-3 ms sort, and the cap does NOT bind there
+        # (~10k detections in 16384 slots), so only the ORDER matters.
+        # Each octave's detections are already strength-sorted
+        # (select_from_maps top-k, valids as a prefix), so a STATIC
+        # rank-major interleave (rank r of every octave before rank
+        # r+1 of any) + an O(n) valid compaction gives a near-sorted
+        # strong-first order without any sort; if the cap ever did
+        # bind, the kept set is each octave's strongest prefix
+        # (octave-balanced) rather than globally strongest.
+        n_oct = len(dets)
+        per = K_slots // n_oct
+        j = np.arange(K_slots)
+        perm = jnp.asarray((j % n_oct) * per + j // n_oct, jnp.int32)
+        order = perm[compaction_order(valid_a[perm])[:cap]]
     else:
         order = compaction_order(valid_a)
     x_a, y_a, sc_a, sharp_a, edge_a, valid_a, oct_a, sub_a, off_a = (
@@ -305,13 +340,14 @@ def _sample_stage(atlas, offsets, subs, dets, cfg: SiftConfig,
         if phases == 5 and dup_split:
             phases = 4
         blk = atlas.ndim == 3
-        if cfg.sample_window == "blk":
+        mode = _sample_mode(cfg)
+        if mode == "blk":
             fused_fn = functools.partial(
                 pallas_sample.fused_orient_descriptor, blk=blk)
-        elif cfg.sample_window:
+        elif mode:
             fused_fn = functools.partial(
                 pallas_sample.fused_orient_descriptor_win,
-                src_vmem=(cfg.sample_window == "vmem"),
+                src_vmem=(mode == "vmem"),
             )
         else:
             fused_fn = pallas_sample.fused_orient_descriptor
@@ -328,7 +364,7 @@ def _sample_stage(atlas, offsets, subs, dets, cfg: SiftConfig,
             d2_raw = pallas_sample.descriptor_sample(
                 atlas, x_a[order_d], y_a[order_d], sc_a[order_d],
                 ori2[order_d], count=jnp.sum(valid2, dtype=jnp.int32),
-                interpret=interp, blk=blk,
+                interpret=interp, blk=blk, wide=True,
             )
             d2 = jnp.zeros_like(d1).at[order_d].set(d2_raw)
         desc = describe.normalize_descriptors(jnp.concatenate([d1, d2]))

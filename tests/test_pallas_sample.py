@@ -353,3 +353,33 @@ def test_pallas_pyramid_base_chain_parity(rng):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=2e-3,
                 err_msg=f"octave {o} up={up}")
+
+
+def test_fused_blk_loader_parity(rng):
+    """Paged-atlas (blk) loader vs the full-width roll loader:
+    bit-identical outputs, both for the fused kernel and for the wide
+    descriptor kernel, including a pre-paged 3D atlas."""
+    from sfm_tpu.ops import pallas_sample as ps
+
+    img = jnp.asarray(
+        (rng.uniform(size=(300, 400)) * 255).astype(np.float32))
+    K = 32
+    x = jnp.asarray(rng.uniform(5, 395, K).astype(np.float32))
+    y = jnp.asarray(rng.uniform(5, 295, K).astype(np.float32))
+    sc = jnp.asarray(rng.uniform(1.0, 2.0, K).astype(np.float32))
+    a = ps.fused_orient_descriptor(img, x, y, sc, count=K, interpret=True)
+    b = ps.fused_orient_descriptor(img, x, y, sc, count=K, interpret=True,
+                                   blk=True)
+    img3 = ps.page_atlas(img)
+    c = ps.fused_orient_descriptor(img3, x, y, sc, count=K, interpret=True,
+                                   blk=True)
+    for o in (b, c):
+        for u, v in zip(a, o):
+            np.testing.assert_array_equal(
+                np.asarray(u, dtype=np.float32), np.asarray(v, np.float32))
+    ori = np.asarray(a[2])
+    d_n = ps.descriptor_sample(img, x, y, sc, jnp.asarray(ori), count=K,
+                               interpret=True)
+    d_w = ps.descriptor_sample(img3, x, y, sc, jnp.asarray(ori), count=K,
+                               interpret=True, blk=True, wide=True)
+    np.testing.assert_allclose(np.asarray(d_n), np.asarray(d_w), atol=2e-2)

@@ -66,14 +66,27 @@ def main():
 
     variants = {
         "atlas-vmem": dataclasses.replace(cfg, sample_window=False),
+        "nodupsplit": dataclasses.replace(cfg, sample_window=False,
+                                          dup_split=False),
         "window-dma": dataclasses.replace(cfg, sample_window=True),
-        "window-vmem": dataclasses.replace(cfg, sample_window="vmem"),
         "paged-blk": dataclasses.replace(cfg, sample_window="blk"),
     }
+    # The blk variant consumes a PAGED [nb, Hp, 128] atlas; page it in
+    # its own program so the 3D form is a parameter of the sample
+    # program (see pallas_sample.page_atlas).
+    from sfm_tpu.ops import pallas_sample as _ps
+
+    atlas3 = jax.jit(_ps.page_atlas)(atlas)
+    jax.block_until_ready(atlas3)
+
+    def atlas_for(c):
+        return atlas3 if c.sample_window == "blk" else atlas
+
     outs = {}
     for name, c in variants.items():
         t0 = time.time()
-        r = frontend._sample_stage(atlas, offsets, subs, dets, c, use_pallas)
+        r = frontend._sample_stage(atlas_for(c), offsets, subs, dets, c,
+                                   use_pallas)
         n = int(np.asarray(r.keypoints.count()))
         outs[name] = r
         print(f"{name}: compile+first {time.time()-t0:.1f}s feats {n}",
@@ -84,7 +97,7 @@ def main():
     a = outs["atlas-vmem"]
     va = np.asarray(a.keypoints.valid)
     da = np.asarray(a.descriptors)[va]
-    for other in ("window-dma", "window-vmem", "paged-blk"):
+    for other in ("nodupsplit", "window-dma", "paged-blk"):
         b = outs[other]
         db = np.asarray(b.descriptors)[np.asarray(b.keypoints.valid)]
         if da.shape == db.shape:
@@ -105,7 +118,7 @@ def main():
         for name, c in variants.items():
             t0 = time.time()
             rs = [
-                frontend._sample_stage(atlas, offsets, subs, dets, c,
+                frontend._sample_stage(atlas_for(c), offsets, subs, dets, c,
                                        use_pallas)
                 for _ in range(N)
             ]
