@@ -27,8 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -2.0  # correlations of unit vectors live in [-1, 1]
 
 
-def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int, *,
-                       acc_dtype=jnp.float32, chains: int = 1):
+def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int):
     """Per-LANE running top-2: the accumulator keeps (best, second,
     idx) PER LANE-COLUMN ([BM, 128] each), so each 128-wide group of a
     score tile merges with ~5 elementwise passes instead of the ~9
@@ -39,33 +38,21 @@ def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int, *,
     holding the global best or the best of the runner-up lane, both of
     which the per-lane accumulator preserves.
 
-    acc_dtype=bfloat16 ("lanes16" variant): the running loop's
-    compare/select passes run on PACKED bf16 vregs (2x VPU rate where
-    native); scores are downcast once per group and the exact
-    cross-lane merge runs in f32 on the upcast accumulators.  Score
-    quantization ~2^-8 relative — argmax agreement is checked by the
-    full-size parity row in tools/bench_match.py.  The block id is
-    stored in the accumulator dtype, so bf16 needs n2_blocks * g <=
-    256 (bf16 holds integers exactly to 256) — guarded by the caller.
-
-    chains=2: groups alternate between two independent accumulator
-    sets, doubling ILP across the serial per-lane dependency chain;
-    the final merge folds chain B into A (exact, ties prefer chain A).
+    (r4 note: bf16-accumulator and dual-chain ILP variants were built
+    and device-A/B'd — bf16 accumulators fail to compile on the
+    current Mosaic and the dual chain measured slower, 3.80 vs
+    3.64 ms at 16K; both removed, results in NOTES_R4.)
     """
     g = bn // 128
 
-    def kernel(d1_ref, d2_ref, v2_ref, out_ref, *acc):
-        b_refs = acc[0::3]
-        s_refs = acc[1::3]
-        i_refs = acc[2::3]
+    def kernel(d1_ref, d2_ref, v2_ref, out_ref, b_ref, s_ref, i_ref):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
-            for c in range(chains):
-                b_refs[c][:, :] = jnp.full_like(b_refs[c], _NEG)
-                s_refs[c][:, :] = jnp.full_like(s_refs[c], _NEG)
-                i_refs[c][:, :] = jnp.zeros_like(i_refs[c])
+            b_ref[:, :] = jnp.full_like(b_ref, _NEG)
+            s_ref[:, :] = jnp.full_like(s_ref, _NEG)
+            i_ref[:, :] = jnp.zeros_like(i_ref)
 
         scores = jax.lax.dot_general(
             d1_ref[:, :], d2_ref[:, :],
@@ -75,38 +62,23 @@ def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int, *,
         scores = scores + (v2_ref[:, :] - 1.0) * 1e3
 
         for gi in range(g):
-            c = gi % chains
-            s = scores[:, gi * 128:(gi + 1) * 128].astype(acc_dtype)
+            s = scores[:, gi * 128:(gi + 1) * 128]
             # The lane is implicit in the accumulator position, so only
             # the 128-wide BLOCK id is stored (one fewer VPU pass than
             # adding a lane iota per group); the final merge
             # reconstructs col = block*128 + lane.
-            blk = (j * g + gi).astype(acc_dtype)
-            b = b_refs[c][:, :]
+            blk = jnp.float32(0.0) + (j * g + gi).astype(jnp.float32)
+            b = b_ref[:, :]
             take = s > b
-            s_refs[c][:, :] = jnp.maximum(
-                s_refs[c][:, :], jnp.where(take, b, s))
-            b_refs[c][:, :] = jnp.where(take, s, b)
-            i_refs[c][:, :] = jnp.where(take, blk, i_refs[c][:, :])
+            s_ref[:, :] = jnp.maximum(s_ref[:, :], jnp.where(take, b, s))
+            b_ref[:, :] = jnp.where(take, s, b)
+            i_ref[:, :] = jnp.where(take, blk, i_ref[:, :])
 
         @pl.when(j == n2_blocks - 1)
         def _():
-            b = b_refs[0][:, :].astype(jnp.float32)
-            s = s_refs[0][:, :].astype(jnp.float32)
-            i = i_refs[0][:, :].astype(jnp.float32)
-            for c in range(1, chains):
-                b2 = b_refs[c][:, :].astype(jnp.float32)
-                s2 = s_refs[c][:, :].astype(jnp.float32)
-                i2 = i_refs[c][:, :].astype(jnp.float32)
-                # Fold chain c into the running union top-2 per lane:
-                # best' = max(b, b2); second' = max(min(b, b2),
-                # second-of-winner); idx follows the winner (ties keep
-                # the earlier chain).
-                takec = b2 > b
-                s = jnp.maximum(jnp.minimum(b, b2),
-                                jnp.where(takec, s2, s))
-                i = jnp.where(takec, i2, i)
-                b = jnp.maximum(b, b2)
+            b = b_ref[:, :]
+            s = s_ref[:, :]
+            i = i_ref[:, :]
             ilane = jax.lax.broadcasted_iota(jnp.int32, (bm, 128), 1)
             gb = jnp.max(b, axis=1, keepdims=True)
             garg = jnp.min(
@@ -203,15 +175,11 @@ def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int | None = None,
 
     variant="lanes" (default): per-lane-column running top-2 with one
     final cross-lane merge — fewer VPU passes; 16K x 16K measured
-    3.66 ms vs 4.47 for "tile" (r3, tools/bench_match.py; reference
+    3.64 ms vs 4.47 for "tile" (r3/r4, tools/bench_match.py; reference
     kernel 10.53 ms).  variant="tile": per-tile exact top-2 folded
     into a [BM, 8] accumulator.  Same results up to tie-breaking —
     "tile" keeps the lowest column index on EXACTLY equal scores,
-    "lanes" the lowest lane.  r4 experimental variants ("lanes16",
-    "lanes2", "lanes16x2"): bf16 accumulators (packed-vreg compare/
-    select; ~2^-8 score quantization in best/second) and/or two
-    independent accumulator chains (doubled ILP across the per-lane
-    serial dependency); device A/B in tools/bench_match.py.
+    "lanes" the lowest lane.
 
     bm/bn default to a size-adaptive sweep winner (tools/bench_match.py
     r3): bigger tiles amortize per-tile fixed VPU passes once the
@@ -229,19 +197,14 @@ def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int | None = None,
         # N2 = 5120 slots) keep the full-pipeline-A/B'd 512 tile; only
         # capacity-class problems switch to the sweep winners.
         bn = 2048 if n2 > 16384 else (1024 if n2 > 6144 else 512)
-    lanes_like = variant.startswith("lanes")
+    if variant not in ("lanes", "tile"):
+        raise ValueError(f"unknown matcher variant {variant!r}")
+    lanes_like = variant == "lanes"
     if lanes_like and (bn % 128 != 0 or bn < 128):
         raise ValueError(
             f"lanes variant needs bn to be a positive multiple of 128 "
             f"(got bn={bn}); columns beyond the last full 128-group "
             "would silently drop from the top-2 merge"
-        )
-    acc_dtype = jnp.bfloat16 if "16" in variant else jnp.float32
-    chains = 2 if variant.endswith("x2") or variant == "lanes2" else 1
-    if acc_dtype == jnp.bfloat16 and -(-n2 // 128) > 256:
-        raise ValueError(
-            f"lanes16 stores the 128-column block id in bf16, exact "
-            f"only to 256 blocks (N2 <= 32768); got N2={n2}"
         )
     if valid2 is None:
         valid2 = jnp.ones((n2,), bool)
@@ -259,10 +222,8 @@ def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int | None = None,
     n2_blocks = n2p // bn
 
     if lanes_like:
-        kernel = _make_kernel_lanes(bm, bn, n2_blocks,
-                                    acc_dtype=acc_dtype, chains=chains)
-        scratch = [pltpu.VMEM((bm, 128), acc_dtype)
-                   for _ in range(3 * chains)]
+        kernel = _make_kernel_lanes(bm, bn, n2_blocks)
+        scratch = [pltpu.VMEM((bm, 128), jnp.float32) for _ in range(3)]
     else:
         kernel = _make_kernel(bm, bn, n2_blocks)
         scratch = [pltpu.VMEM((bm, 8), jnp.float32)]

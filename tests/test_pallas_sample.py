@@ -175,27 +175,10 @@ def test_pallas_matcher_matches_xla(rng):
     np.testing.assert_array_equal(np.array(il), np.array(i_ref))
     np.testing.assert_allclose(np.array(bl), np.array(b_ref), atol=1e-5)
     np.testing.assert_allclose(np.array(sl), np.array(s_ref), atol=1e-5)
-    # Dual-chain variant: exact in f32 (chain fold is an exact union
-    # top-2 per lane).
-    bc, sc, ic = pallas_match.match_top2_pallas(
-        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v2),
-        bm=8, bn=256, bf16=False, interpret=True, variant="lanes2")
-    np.testing.assert_array_equal(np.array(ic), np.array(i_ref))
-    np.testing.assert_allclose(np.array(bc), np.array(b_ref), atol=1e-5)
-    np.testing.assert_allclose(np.array(sc), np.array(s_ref), atol=1e-5)
-    # bf16-accumulator variant: quantized best/second (2^-8 relative),
-    # argmax agreement bounded like the bf16-input case.
-    bq, sq, iq = pallas_match.match_top2_pallas(
-        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v2),
-        bm=8, bn=256, bf16=False, interpret=True, variant="lanes16")
-    assert (np.array(iq) == np.array(i_ref)).mean() > 0.95
-    np.testing.assert_allclose(np.array(bq), np.array(b_ref), atol=1e-2)
-    assert v2[np.array(iq)].all()
     with pytest.raises(ValueError):
         pallas_match.match_top2_pallas(
-            jnp.asarray(np.zeros((8, 128), np.float32)),
-            jnp.asarray(np.zeros((128 * 257, 128), np.float32)),
-            interpret=True, variant="lanes16")
+            jnp.asarray(d1), jnp.asarray(d2), interpret=True,
+            variant="lanes16")
 
 
 @pytest.mark.slow

@@ -65,22 +65,9 @@ def main():
         ("lanes-512x2048",
          lambda a, b: match_top2_pallas(a, b, bm=512, bn=2048,
                                         variant="lanes"), jnp.float32),
-        # r4 pass-count/ILP experiments (VERDICT r4 item 6: 3.66 ->
-        # <= 3.0 ms): bf16 accumulators (packed compare/select) and a
-        # dual accumulator chain (ILP across the serial per-lane
-        # dependency).
-        ("lanes16-512x1024",
-         lambda a, b: match_top2_pallas(a, b, bm=512, bn=1024,
-                                        variant="lanes16"), jnp.float32),
-        ("lanes2-512x1024",
-         lambda a, b: match_top2_pallas(a, b, bm=512, bn=1024,
-                                        variant="lanes2"), jnp.float32),
-        ("lanes16x2-512x1024",
-         lambda a, b: match_top2_pallas(a, b, bm=512, bn=1024,
-                                        variant="lanes16x2"), jnp.float32),
-        ("lanes16-512x2048",
-         lambda a, b: match_top2_pallas(a, b, bm=512, bn=2048,
-                                        variant="lanes16"), jnp.float32),
+        # (r4: bf16-accumulator and dual-chain ILP variants were
+        # A/B'd here and removed — Mosaic compile failure / 3.80 ms
+        # vs 3.64; NOTES_R4.)
     ]
     # Warm up / compile each variant, record correctness.
     runnable = []
