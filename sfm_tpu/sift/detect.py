@@ -177,6 +177,12 @@ def _topk_2level(flat_resp, k: int, block: int = 8):
     k strongest elements (exact ties are interchangeable).  Cuts the
     O(n) top-k input 8x — the selection was 13.4 ms of the 49.6 ms
     dense stage at the 2560x1920 capacity class (NOTES_R3 breakdown).
+
+    (r4: an exact 3-LEVEL scheme — 8x8 max-pool, two expand/top-k
+    rounds, sorting 141k instead of 284k elements at the up-scale
+    octave 0 — measured SLOWER on device, 10.16 vs 8.94 ms for the
+    detect stage: the expand gathers cost more than the smaller sorts
+    save.  Removed; NOTES_R4.)
     """
     n = flat_resp.shape[0]
     nb = n // block

@@ -84,11 +84,13 @@ def main():
 
     variants = {"bases": scanner(f_bases)}
     counts = {}
-    for b in (8, 16, 32, 64):
-        cfg = dataclasses.replace(base_cfg, topk_block=b)
-        variants[f"detect_b{b}"] = scanner(detect_for(cfg))
+    for name, kw in (("b16", dict(topk_block=16)),
+                     ("b32", dict(topk_block=32)),
+                     ("b64", dict(topk_block=64))):
+        cfg = dataclasses.replace(base_cfg, **kw)
+        variants[f"detect_{name}"] = scanner(detect_for(cfg))
         r = frontend.extract_sift(img, cfg)
-        counts[f"detect_b{b}"] = int(np.asarray(jnp.sum(r.keypoints.valid)))
+        counts[f"detect_{name}"] = int(np.asarray(jnp.sum(r.keypoints.valid)))
 
     for name, fn in variants.items():
         t0 = time.time()
