@@ -194,6 +194,17 @@ class PipelineConfig:
     # seeds (device study NOTES_R4) and no post-hoc vote rescues a bad
     # R.  0 = single-start cheirality vote (r3 behavior).
     restart_k: int = 16
+    # Probe refinement (r5): the pre-refinement tight score is a weak
+    # predictor of the post-refinement basin — on tail seeds the argmax
+    # start converges to a local optimum while a slightly lower-scored
+    # start reaches the global basin (CPU 8-seed study at HEAD r4:
+    # seed 4 landed at 824/0.60 px vs the 1071/0.33 basin).  Instead of
+    # refining only the argmax, probe-refine the best pose branch of
+    # each of the top probe_starts E candidates with a short vmapped GN
+    # (probe_iters) and START the full rounds from the post-probe
+    # argmax.  0/1 disables (r4 argmax behavior).
+    probe_starts: int = 8
+    probe_iters: int = 6
     # Compact correspondences to this many slots before the geometry
     # program (valid entries first).  The keypoint capacity is
     # num_octaves * 2 * max_pts_per_octave slots (10240 in the bench

@@ -328,13 +328,18 @@ def _window_problem(problem: ba.BAProblem, pt_capacity_arr, win_lo, win_hi,
     order1 = compaction_order(keep & cam_in)
     order2 = compaction_order(keep & ~cam_in)
     n1 = jnp.sum(keep & cam_in)
+    n2 = jnp.sum(keep & ~cam_in)
     sl = jnp.arange(order1.shape[0], dtype=jnp.int32)
     order = jnp.where(sl < n1, order1, order2[jnp.maximum(sl - n1, 0)])
     order = order[:obs_cap]
     cam = problem.cam_idx[order]
     pt = problem.pt_idx[order]
     uv = problem.uv[order]
-    msk = keep[order]
+    # Gate by slot position, not just keep[order]: order2's tail (its
+    # non-matching suffix) holds keep&cam_in rows already placed in the
+    # order1 prefix — keep[order] alone would double-count them
+    # whenever obs_cap > n1 + n2 (ADVICE r4).
+    msk = keep[order] & (sl[:obs_cap] < n1 + n2)
     # Dense remap of the surviving points into [0, obs_cap) slots.
     seen = jnp.zeros((P,), bool).at[
         jnp.where(msk, pt, P)

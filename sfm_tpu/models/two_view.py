@@ -108,6 +108,15 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
         take = cand[0] > best[0]
         return tuple(jnp.where(take, c, b) for c, b in zip(cand, best))
 
+    # Lexicographic packing multiplier for the tight-count score: must
+    # exceed any possible valid count so one extra tight inlier always
+    # outranks any number of loose ones (ADVICE r4: a fixed 16384
+    # silently corrupts ranking when N can reach it, e.g.
+    # geometry_cap=0 at full keypoint capacity).  tight <= N, so
+    # tight * (N + 1) + score <= N^2 + 2N < 2^31 for N <= 46k.
+    assert x1.shape[0] < 46000, "score packing overflows int32 at this N"
+    score_mult = jnp.int32(x1.shape[0] + 1)
+
     def score_E(E, R2, t2):
         """Full-set round score: epipolar inliers that also pass the
         closed-form midpoint cheirality test at (R2, t2) — ~10 ops per
@@ -134,7 +143,7 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
             tight = jnp.sum(
                 (r < rc.threshold * cfg.score_tight_mult) & mask & cheir
             ).astype(jnp.int32)
-            score = tight * jnp.int32(16384) + score
+            score = tight * score_mult + score
         return inl, valid_k, score
 
     # Multi-start selection (r4): refinement's basin of attraction is
@@ -170,10 +179,56 @@ def two_view_geometry(key, uv1, uv2, mask, K, cfg: PipelineConfig = PipelineConf
                 (rb < rc.threshold * cfg.score_tight_mult)
                 & mask[None, :] & cheir, axis=-1,
             ).astype(jnp.int32)
-            scoreb = tightb * jnp.int32(16384) + scoreb
-        bsel = jnp.argmax(scoreb)
-        R_cur, t_cur = Rs[bsel], ts[bsel]
-        w = validb[bsel]
+            scoreb = tightb * score_mult + scoreb
+        if cfg.probe_starts > 1:
+            # Probe refinement (r5): refine the best branch of each of
+            # the top-S E candidates with a short vmapped GN and pick
+            # the start by POST-probe tight score — the pre-refinement
+            # score is a weak basin predictor (PipelineConfig notes).
+            sb4 = scoreb.reshape(C, 4)
+            br = jnp.argmax(sb4, axis=1)                        # [C]
+            flat = jnp.arange(C) * 4 + br
+            S = min(cfg.probe_starts, C)
+            _, esel = jax.lax.top_k(jnp.max(sb4, axis=1), S)    # [S]
+            psel = flat[esel]
+            R0s, t0s = Rs[psel], ts[psel]                       # [S,3,3]
+            w0s = validb[psel].astype(x1.dtype)                 # [S,N]
+            pref = jax.vmap(
+                lambda R0, t0, w0: refine.refine_relative_pose(
+                    R0, t0, x1, x2, weights=w0, iters=cfg.probe_iters
+                )
+            )(R0s, t0s, w0s)
+            E_p = pref.E * (
+                jnp.sqrt(2.0)
+                / jnp.linalg.norm(pref.E, axis=(1, 2), keepdims=True)
+            )
+            rp = epipolar.epipolar_residuals(E_p, x1, x2)       # [S,N]
+            z1p, z2p = jax.vmap(tri.midpoint_depths, (None, None, 0, 0))(
+                x1, x2, pref.R, pref.t
+            )
+            cheirp = (z1p > 0) & (z2p > 0)
+            validp = (rp < rc.threshold) & mask[None, :] & cheirp
+            scorep = jnp.sum(validp, axis=-1).astype(jnp.int32)
+            if cfg.score_tight_mult > 0:
+                tightp = jnp.sum(
+                    (rp < rc.threshold * cfg.score_tight_mult)
+                    & mask[None, :] & cheirp, axis=-1,
+                ).astype(jnp.int32)
+                scorep = tightp * score_mult + scorep
+            pw = jnp.argmax(scorep)
+            R_cur, t_cur = pref.R[pw], pref.t[pw]
+            w = validp[pw]
+            # The probed winner enters the best-of selection directly:
+            # consider() is monotone, so if the subsequent full rounds
+            # diverge the probe result still wins.
+            inl_p = (rp[pw] < rc.threshold) & mask
+            best = consider(
+                (scorep[pw], E_p[pw], inl_p, R_cur, t_cur), best
+            )
+        else:
+            bsel = jnp.argmax(scoreb)
+            R_cur, t_cur = Rs[bsel], ts[bsel]
+            w = validb[bsel]
     else:
         p = pose.recover_pose(res.E, x1v, x2v, weights=wv)
         R_cur, t_cur = p["R"], p["t"]

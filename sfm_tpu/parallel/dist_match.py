@@ -51,6 +51,16 @@ def dist_match_top2(desc1, desc2_sh, valid2_sh, mesh: Mesh, *,
     """
     pallas = _use_pallas(use_pallas)
 
+    # Global indices ride the all_gather as float32 alongside the
+    # scores (one [D, N1, 3] gather instead of two); f32 represents
+    # integers exactly only up to 2^24, so the global N2 must stay
+    # under it (ADVICE r4).  16.7M descriptors ~ 8.6 GB — far beyond
+    # any per-pair capacity here, but guard it statically.
+    assert desc2_sh.shape[0] < (1 << 24), (
+        "dist_match merges indices through float32; global N2 >= 2^24 "
+        "would corrupt them — gather indices separately at this scale"
+    )
+
     def body(d1, d2_loc, v2_loc):
         n2_loc = d2_loc.shape[0]
         me = jax.lax.axis_index(axis)
