@@ -121,3 +121,39 @@ def ransac_homography(
     return HomographyResult(
         H=H, inliers=inl, num_inliers=jnp.sum(inl).astype(jnp.int32)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("loops",))
+@f32_matmul
+def improve_homography(H, uv1, uv2, mask, *, loops: int = 5,
+                       threshold: float = 9.0):
+    """Iterative all-inlier homography polish — the reference's
+    ImproveHomography (CudaSift/geomFuncs.cpp:6-73): `loops` rounds of
+    a hard-gated (err < threshold px^2) weighted DLT refit over the
+    `mask` candidates, applied UNCONDITIONALLY each round (the
+    reference has no acceptance check).  The reference solves the
+    inhomogeneous 8-parameter normal equations; the normalized DLT
+    null-space used here is the same least-squares geometry with
+    better conditioning.
+    """
+    n = uv1.shape[0]
+    ones = jnp.ones((n, 1), uv1.dtype)
+    h1 = jnp.concatenate([uv1, ones], axis=-1)
+    h2 = jnp.concatenate([uv2, ones], axis=-1)
+    T1 = epipolar.normalizing_transform(h1, mask)
+    T2 = epipolar.normalizing_transform(h2, mask)
+    n1 = (h1 @ T1.T)[:, :2]
+    n2 = (h2 @ T2.T)[:, :2]
+    T2inv = jnp.linalg.inv(T2)
+    A_all = homography_system(n1, n2).reshape(-1, 9)  # [2N, 9]
+
+    def loop(H, _):
+        e = transfer_errors(H, uv1, uv2)
+        w = jnp.repeat(((e < threshold) & mask).astype(uv1.dtype), 2)
+        G = jnp.einsum("ni,n,nj->ij", A_all, w, A_all)
+        hv = linalg.smallest_eigvec_power(G)
+        H_new = jnp.einsum("ij,jk,kl->il", T2inv, hv.reshape(3, 3), T1)
+        return H_new, None
+
+    H, _ = jax.lax.scan(loop, H, None, length=loops)
+    return H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])

@@ -89,6 +89,38 @@ def test_homography_ransac(rng):
     assert np.abs(H - H_gt).max() / np.abs(H_gt).max() < 0.01
 
 
+def test_improve_homography_reference_metric(rng):
+    """The reference's numFit pipeline (geomFuncs.cpp:6-73): a loose
+    5 px RANSAC seed + 5 unconditional 3 px improve loops must converge
+    to the ground-truth H even when the seed gate admitted outliers."""
+    H_gt = np.array(
+        [[1.05, 0.02, 8.0], [-0.02, 0.98, -3.0], [5e-5, -2e-5, 1.0]],
+        np.float64,
+    )
+    n = 400
+    uv1 = rng.uniform(0, 800, size=(n, 2))
+    ph = np.concatenate([uv1, np.ones((n, 1))], axis=1) @ H_gt.T
+    uv2 = ph[:, :2] / ph[:, 2:3]
+    uv2 += rng.normal(scale=0.4, size=uv2.shape)
+    n_out = 120
+    uv2[:n_out] = rng.uniform(0, 800, size=(n_out, 2))
+    u1 = jnp.asarray(uv1.astype(np.float32))
+    u2 = jnp.asarray(uv2.astype(np.float32))
+    res = homography.ransac_homography(
+        jax.random.PRNGKey(0), u1, u2,
+        n_hyps=1024, threshold=25.0, refit_iters=0,
+    )
+    H = homography.improve_homography(
+        res.H, u1, u2, jnp.ones((n,), bool), loops=5, threshold=9.0,
+    )
+    errs = np.array(homography.transfer_errors(H, u1, u2))
+    # All true inliers fit at 3 px; outliers don't sneak in.
+    assert (errs[n_out:] < 9.0).mean() > 0.97
+    assert (errs[:n_out] < 9.0).mean() < 0.05
+    Hn = np.array(H, np.float64)
+    assert np.abs(Hn / Hn[2, 2] - H_gt).max() / np.abs(H_gt).max() < 0.01
+
+
 def test_native_io_rejects_malformed(tmp_path, rng):
     # Regression for the r1 advisor finding: mixed-size batches and
     # truncated payloads must fail cleanly, never write out of bounds.

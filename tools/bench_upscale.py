@@ -51,7 +51,7 @@ def main():
     img2 = jnp.asarray(load_gray("/root/reference/CudaSift/data/righ.pgm"))
     print(f"images: {img1.shape}", file=sys.stderr, flush=True)
 
-    def cfgf(thresh, up):
+    def cfgf(thresh, up, per_octave=4096):
         # Capacity class: the 1280x960 image yields ~4-13k features at
         # these thresholds (reference tables); upscaled runs detect on
         # a 2560x1920 base so give each octave 4096 slots.
@@ -61,7 +61,7 @@ def main():
         # detections at noup_t2.0 — the whole VERDICT r4 deficit).
         return SiftConfig(
             num_octaves=5,
-            max_pts_per_octave=4096,
+            max_pts_per_octave=per_octave,
             sample_cap=16384,
             thresh=thresh,
             init_blur=1.0,
@@ -69,7 +69,10 @@ def main():
         )
 
     variants = {
-        "noup_t1.0": (cfgf(1.0, False), 4236, 5.8),
+        # t1.0 on the finest octave exceeds 4096 detections (the cap
+        # bound 4096/4096 there, costing ~10%% of the H-fit count —
+        # diag_counts r5); the reference caps globally at 32768.
+        "noup_t1.0": (cfgf(1.0, False, per_octave=8192), 4236, 5.8),
         "noup_t2.0": (cfgf(2.0, False), 2720, 4.7),
         "up_t2.0": (cfgf(2.0, True), 4502, 13.2),
         "up_t3.0": (cfgf(3.0, True), 2529, 10.6),
@@ -109,11 +112,19 @@ def main():
         uv2 = jnp.stack([kp2.x[m.index], kp2.y[m.index]], axis=-1)
         slot_ok = kp1.valid & kp2.valid[m.index]
         cand = slot_ok & (m.ambiguity < 0.80) & (m.score > 0.0)
+        # The reference pipeline: FindHomography at a 5 px gate over
+        # 10000 hypotheses (mainSift.cpp:80), then ImproveHomography —
+        # 5 unconditional hard-gated refit loops at 3 px over the
+        # ambiguity<0.80 candidates — and numFit counts ALL argmax
+        # matches within 3 px (geomFuncs.cpp:6-73).
         hres = homography.ransac_homography(
             jax.random.PRNGKey(0), uv1, uv2, cand,
-            n_hyps=4096, threshold=9.0,  # 3 px, the numFit gate
+            n_hyps=8192, threshold=25.0, refit_iters=0,
         )
-        errs = homography.transfer_errors(hres.H, uv1, uv2)
+        H = homography.improve_homography(
+            hres.H, uv1, uv2, cand, loops=5, threshold=9.0,
+        )
+        errs = homography.transfer_errors(H, uv1, uv2)
         numfit = int(np.asarray(jnp.sum((errs < 9.0) & slot_ok)))
         results[name] = dict(n1=n1, n2=n2, matches=nm, numfit=numfit)
         print(

@@ -111,6 +111,15 @@ def main():
             base, refine_rounds=1, tvote_rounds=0),
         "r1_tvote1": dataclasses.replace(
             base, refine_rounds=1, tvote_rounds=1),
+        # r5 probe-era trims: the probe pays ~1.3 ms (bench 7.54 ->
+        # 8.80); which of the older machinery can it retire?
+        "probe_it4": dataclasses.replace(base, probe_iters=4),
+        "probe_tvote0": dataclasses.replace(base, tvote_rounds=0),
+        "probe_it4_tvote0": dataclasses.replace(
+            base, probe_iters=4, tvote_rounds=0),
+        "probe_r1": dataclasses.replace(base, refine_rounds=1),
+        "probe_it8_r1_tvote0": dataclasses.replace(
+            base, probe_iters=8, refine_rounds=1, tvote_rounds=0),
     }
     if args.only:
         names = args.only.split(",")
