@@ -98,6 +98,14 @@ class SiftConfig:
     # standalone (the 43 MB atlas operand OOMs scoped VMEM outside
     # the production program shape).
     sample_phases: int = 5
+    # Keypoints per program of the fused sampling kernel: the r5 phase
+    # decomposition measured ~0.9 us of launch overhead per program
+    # (phase-1 = 1.87 ms at 2048 programs, up_t2.0) — larger blocks
+    # amortize it and widen the batched post-processing.  VMEM holds
+    # block_k patches ([48, 256] f32 each) live.  Device A/B at
+    # up_t2.0 (tools/exp_blockk.py): 8/16/32/48/64 -> 16.54 / 14.95 /
+    # 14.27-14.55 / 16.8 / 14.22-14.30 ms/extract (two runs).
+    sample_block_k: int = 64
     # Block size of the exact 2-level top-k prefilter
     # (detect._topk_2level): lax.top_k cost ~ level1 n/b + level2 k*b,
     # balanced at b ~ sqrt(n/k).  8 = the r3 value; the r4 device sweep

@@ -104,6 +104,86 @@ def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int):
     return kernel
 
 
+def _make_kernel_lanes_pair(bm: int, bn: int, n2_blocks: int):
+    """Pairwise-group variant of the per-lane kernel (r5): two 128-col
+    groups are first sorted against each other (p1 = max, p2 = min —
+    2 VPU passes for 2 groups), then ONE (best, second) accumulator
+    merge absorbs the pair:
+
+        b' = max(b, p1)
+        s' = max(max(s, p2), min(b, p1))
+        i' = select(p1 > b, idx(p1), i)
+
+    ~4.5 VPU passes per group vs ~5.5 for the per-group merge — the
+    kernel is VPU-issue-bound, so pass count is the cost (NOTES_R2/R5
+    accounting).  Exact: top-2 of a union of sorted pairs.
+    """
+    g = bn // 128
+    assert g % 2 == 0, "pair variant needs an even group count per tile"
+
+    def kernel(d1_ref, d2_ref, v2_ref, out_ref, b_ref, s_ref, i_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            b_ref[:, :] = jnp.full_like(b_ref, _NEG)
+            s_ref[:, :] = jnp.full_like(s_ref, _NEG)
+            i_ref[:, :] = jnp.zeros_like(i_ref)
+
+        scores = jax.lax.dot_general(
+            d1_ref[:, :], d2_ref[:, :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BM, BN]
+        scores = scores + (v2_ref[:, :] - 1.0) * 1e3
+
+        for gi in range(0, g, 2):
+            sA = scores[:, gi * 128:(gi + 1) * 128]
+            sB = scores[:, (gi + 1) * 128:(gi + 2) * 128]
+            blkA = jnp.float32(0.0) + (j * g + gi).astype(jnp.float32)
+            blkB = jnp.float32(0.0) + (j * g + gi + 1).astype(jnp.float32)
+            a_wins = sA >= sB
+            p1 = jnp.where(a_wins, sA, sB)
+            p2 = jnp.where(a_wins, sB, sA)
+            i1 = jnp.where(a_wins, blkA, blkB)
+            b = b_ref[:, :]
+            take = p1 > b
+            s_ref[:, :] = jnp.maximum(
+                jnp.maximum(s_ref[:, :], p2), jnp.where(take, b, p1)
+            )
+            b_ref[:, :] = jnp.where(take, p1, b)
+            i_ref[:, :] = jnp.where(take, i1, i_ref[:, :])
+
+        @pl.when(j == n2_blocks - 1)
+        def _():
+            b = b_ref[:, :]
+            s = s_ref[:, :]
+            i = i_ref[:, :]
+            ilane = jax.lax.broadcasted_iota(jnp.int32, (bm, 128), 1)
+            gb = jnp.max(b, axis=1, keepdims=True)
+            garg = jnp.min(
+                jnp.where(b == gb, ilane, np.int32(2 ** 30)),
+                axis=1, keepdims=True,
+            )
+            at_arg = ilane == garg
+            runner = jnp.max(jnp.where(at_arg, _NEG, b), axis=1,
+                             keepdims=True)
+            sec_at = jnp.max(jnp.where(at_arg, s, _NEG), axis=1,
+                             keepdims=True)
+            gsec = jnp.maximum(runner, sec_at)
+            gblk = jnp.max(jnp.where(at_arg, i, -1.0), axis=1,
+                           keepdims=True)
+            gidx = gblk * 128.0 + garg.astype(jnp.float32)
+            olane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+            out_ref[:, :] = (
+                jnp.where(olane == 0, gb, 0.0)
+                + jnp.where(olane == 1, gsec, 0.0)
+                + jnp.where(olane == 2, gidx, 0.0)
+            )
+
+    return kernel
+
+
 def _make_kernel(bm: int, bn: int, n2_blocks: int):
     def kernel(d1_ref, d2_ref, v2_ref, out_ref, acc_ref):
         j = pl.program_id(1)
@@ -197,9 +277,9 @@ def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int | None = None,
         # N2 = 5120 slots) keep the full-pipeline-A/B'd 512 tile; only
         # capacity-class problems switch to the sweep winners.
         bn = 2048 if n2 > 16384 else (1024 if n2 > 6144 else 512)
-    if variant not in ("lanes", "tile"):
+    if variant not in ("lanes", "lanes_pair", "tile"):
         raise ValueError(f"unknown matcher variant {variant!r}")
-    lanes_like = variant == "lanes"
+    lanes_like = variant in ("lanes", "lanes_pair")
     if lanes_like and (bn % 128 != 0 or bn < 128):
         raise ValueError(
             f"lanes variant needs bn to be a positive multiple of 128 "
@@ -222,7 +302,9 @@ def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int | None = None,
     n2_blocks = n2p // bn
 
     if lanes_like:
-        kernel = _make_kernel_lanes(bm, bn, n2_blocks)
+        mk = (_make_kernel_lanes_pair if variant == "lanes_pair"
+              else _make_kernel_lanes)
+        kernel = mk(bm, bn, n2_blocks)
         scratch = [pltpu.VMEM((bm, 128), jnp.float32) for _ in range(3)]
     else:
         kernel = _make_kernel(bm, bn, n2_blocks)

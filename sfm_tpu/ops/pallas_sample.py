@@ -441,9 +441,10 @@ def descriptor_sample(img, x, y, scale, orientation_deg, count=None, *,
 # Orientation sampling precision: the histogram takes central
 # differences of the sampled values, so single-pass bf16 MXU inputs
 # put ~3% noise on the gradients (r2 device study, tools/diag_hist.py)
-# — the dot needs a multi-pass precision.  HIGH (bf16x3) covers the
-# full 24-bit f32 mantissa of each operand; the r4 device A/B vs
-# HIGHEST (bf16x6) is in NOTES_R4.
+# — the dot needs a multi-pass precision.  HIGH (bf16x3) would halve
+# the MXU passes of HIGHEST (bf16x6) at full per-operand f32 mantissa
+# coverage, but Mosaic's dot lowering supports only DEFAULT and
+# HIGHEST (NotImplementedError, r5) — HIGHEST stays.
 _ORI_PRECISION = jax.lax.Precision.HIGHEST
 
 
@@ -481,6 +482,29 @@ def _orient_post_wide(vals, inv2s2):
     gw = grad * w
     iota32 = jax.lax.broadcasted_iota(
         jnp.int32, (32, 121), 0).astype(jnp.float32)
+    if B >= 16:
+        # Batched contraction (r5): one [B, 121] x [121, B*32] dot for
+        # the whole block + a block-diagonal mask + a static fold,
+        # instead of B M=1 dots (each a full MXU pass at 1/128 M
+        # utilization).  The per-keypoint one-hots are the same
+        # element count — only the dot count changes.
+        OH = jnp.concatenate(
+            [jnp.where(iota32 == bins[k:k + 1, :], 1.0, 0.0)
+             for k in range(B)], axis=0)                    # [B*32, 121]
+        RES = jax.lax.dot_general(
+            gw, OH, _DN_LANE, preferred_element_type=jnp.float32
+        )                                                   # [B, B*32]
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (B, B * 32), 0)
+        coli = jax.lax.broadcasted_iota(jnp.int32, (B, B * 32), 1)
+        masked = jnp.where(coli // 32 == rowi, RES, 0.0)
+        # Exact VPU fold of the block-diagonal: lane group k of row b
+        # is nonzero only at k == b, so summing the 32-lane groups
+        # extracts hist[b] — B-1 static slice adds, no second (bf16)
+        # matmul pass.
+        out = masked[:, 0:32]
+        for g in range(1, B):
+            out = out + masked[:, g * 32:(g + 1) * 32]
+        return out                                          # [B, 32]
     rows = []
     for k in range(B):
         oh = jnp.where(iota32 == bins[k:k + 1, :], 1.0, 0.0)  # [32, 121]

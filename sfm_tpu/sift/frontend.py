@@ -341,6 +341,9 @@ def _sample_stage(atlas, offsets, subs, dets, cfg: SiftConfig,
             phases = 4
         blk = atlas.ndim == 3
         mode = _sample_mode(cfg)
+        bk = cfg.sample_block_k
+        if x_a.shape[0] % bk:
+            bk = 8  # capacity not divisible by the configured block
         if mode == "blk":
             fused_fn = functools.partial(
                 pallas_sample.fused_orient_descriptor, blk=blk)
@@ -354,7 +357,7 @@ def _sample_stage(atlas, offsets, subs, dets, cfg: SiftConfig,
         kw = {"phases": phases} if phases != 5 else {}
         d1, d2, ori1, ori2, dup = fused_fn(
             atlas, x_a, y_a, sc_a, count=jnp.sum(valid_a, dtype=jnp.int32),
-            interpret=interp, **kw,
+            interpret=interp, block_k=bk, **kw,
         )
         valid2 = dup & valid_a
         if not cfg.orientation_duplicates:
@@ -364,7 +367,7 @@ def _sample_stage(atlas, offsets, subs, dets, cfg: SiftConfig,
             d2_raw = pallas_sample.descriptor_sample(
                 atlas, x_a[order_d], y_a[order_d], sc_a[order_d],
                 ori2[order_d], count=jnp.sum(valid2, dtype=jnp.int32),
-                interpret=interp, blk=blk, wide=True,
+                interpret=interp, blk=blk, wide=True, block_k=bk,
             )
             d2 = jnp.zeros_like(d1).at[order_d].set(d2_raw)
         desc = describe.normalize_descriptors(jnp.concatenate([d1, d2]))

@@ -169,12 +169,15 @@ def test_pallas_matcher_matches_xla(rng):
     # Per-lane-accumulator variant: identical contract (exact in f32;
     # tie-break differences require exactly equal f32 dot products,
     # absent on random unit descriptors).
-    bl, sl, il = pallas_match.match_top2_pallas(
-        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v2),
-        bm=8, bn=256, bf16=False, interpret=True, variant="lanes")
-    np.testing.assert_array_equal(np.array(il), np.array(i_ref))
-    np.testing.assert_allclose(np.array(bl), np.array(b_ref), atol=1e-5)
-    np.testing.assert_allclose(np.array(sl), np.array(s_ref), atol=1e-5)
+    for var in ("lanes", "lanes_pair"):
+        bl, sl, il = pallas_match.match_top2_pallas(
+            jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v2),
+            bm=8, bn=256, bf16=False, interpret=True, variant=var)
+        np.testing.assert_array_equal(np.array(il), np.array(i_ref))
+        np.testing.assert_allclose(np.array(bl), np.array(b_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.array(sl), np.array(s_ref),
+                                   atol=1e-5)
     with pytest.raises(ValueError):
         pallas_match.match_top2_pallas(
             jnp.asarray(d1), jnp.asarray(d2), interpret=True,

@@ -68,6 +68,17 @@ def main():
         # (r4: bf16-accumulator and dual-chain ILP variants were
         # A/B'd here and removed — Mosaic compile failure / 3.80 ms
         # vs 3.64; NOTES_R4.)
+        # r5: pairwise-group pre-sort — same VPU pass count but HALF
+        # the serial accumulator-merge chain length per tile.
+        ("pair-512x1024",
+         lambda a, b: match_top2_pallas(a, b, bm=512, bn=1024,
+                                        variant="lanes_pair"), jnp.float32),
+        ("pair-512x2048",
+         lambda a, b: match_top2_pallas(a, b, bm=512, bn=2048,
+                                        variant="lanes_pair"), jnp.float32),
+        ("pair-512x4096",
+         lambda a, b: match_top2_pallas(a, b, bm=512, bn=4096,
+                                        variant="lanes_pair"), jnp.float32),
     ]
     # Warm up / compile each variant, record correctness.
     runnable = []

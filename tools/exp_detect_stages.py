@@ -66,6 +66,7 @@ def main():
         cfg = SiftConfig(
             num_octaves=5, max_pts_per_octave=4096, sample_cap=16384,
             thresh=thresh, up_scale=up,
+            init_blur=1.0,  # mainSift.cpp:59 — the published tables' config
         )
     cfg = dataclasses.replace(cfg, fused_detect=True)
     mats = frontend._mats_for(img.shape, cfg)

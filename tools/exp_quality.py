@@ -120,6 +120,14 @@ def main():
         "probe_r1": dataclasses.replace(base, refine_rounds=1),
         "probe_it8_r1_tvote0": dataclasses.replace(
             base, probe_iters=8, refine_rounds=1, tvote_rounds=0),
+        # r5: 1024 hypotheses is the bad-seed root cause on the device
+        # match set (replay_geometry: no good-basin draw in the bank on
+        # seeds 4/7); 1536+ rescues every seed.
+        "h1536": var(n_hyps=1536),
+        "h1536_tvote0": dataclasses.replace(
+            var(n_hyps=1536), tvote_rounds=0),
+        "h2048_tvote0": dataclasses.replace(
+            var(n_hyps=2048), tvote_rounds=0),
     }
     if args.only:
         names = args.only.split(",")

@@ -59,6 +59,7 @@ def main():
         cfg = SiftConfig(
             num_octaves=5, max_pts_per_octave=4096, sample_cap=16384,
             thresh=thresh, up_scale=up,
+            init_blur=1.0,  # mainSift.cpp:59 — the published tables' config
         )
     interp = jax.default_backend() == "cpu"
 
