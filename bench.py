@@ -91,7 +91,7 @@ def main():
     # VERDICT r2 weak item 1; r1-r3 ran bf16-noisy inlier gates
     # unnoticed — NOTES_R4).
     qs = []
-    for s in range(4):
+    for s in range(8):
         r = run(s)
         qs.append((int(r.num_matches), int(r.num_inliers),
                    int(r.point_valid.sum()),

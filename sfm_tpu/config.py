@@ -98,6 +98,14 @@ class SiftConfig:
     # standalone (the 43 MB atlas operand OOMs scoped VMEM outside
     # the production program shape).
     sample_phases: int = 5
+    # Optional PER-OCTAVE detection slot caps (overrides
+    # max_pts_per_octave when set; length must equal num_octaves).
+    # Detection counts fall roughly 2x per octave (up_t2.0: 4096/4096/
+    # 1895/722/247 — diag_counts r5), while a uniform cap makes every
+    # octave pay top-k + aux-gather + sample-slot cost for its full
+    # capacity; the select-tail gathers alone were ~2.3 ms of the
+    # up-scale extract.  None = uniform caps.
+    octave_caps: tuple | None = None
     # Keypoints per program of the fused sampling kernel: the r5 phase
     # decomposition measured ~0.9 us of launch overhead per program
     # (phase-1 = 1.87 ms at 2048 programs, up_t2.0) — larger blocks

@@ -163,6 +163,25 @@ def atlas_layout(shape, cfg: SiftConfig):
     return tuple(offsets), tuple(subs)
 
 
+def _octave_cfg(cfg: SiftConfig, o: int) -> SiftConfig:
+    """Per-octave detection config: applies cfg.octave_caps[o] as the
+    slot cap when set (detection counts fall ~2x per octave; a uniform
+    cap makes deep octaves pay top-k/gather/sample cost for slots they
+    never fill — SiftConfig.octave_caps)."""
+    if cfg.octave_caps is None:
+        return cfg
+    if len(cfg.octave_caps) != cfg.num_octaves:
+        raise ValueError(
+            f"octave_caps must have num_octaves={cfg.num_octaves} "
+            f"entries; got {len(cfg.octave_caps)}"
+        )
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, max_pts_per_octave=int(cfg.octave_caps[o])
+    )
+
+
 def _detect_impl(img, cfg: SiftConfig, mats):
     """Per-octave dense stage (pyramid + NMS); detections shifted into
     atlas-frame coordinates for the shared sampling kernels.
@@ -189,8 +208,8 @@ def _detect_impl(img, cfg: SiftConfig, mats):
         sub = 1.0
         for o, off in enumerate(offsets):
             taps = pyramid.octave_kernel_bank(cfg, o)
-            d = detect_mod.detect_fused(bases[o], taps, cfg, sub,
-                                        interpret=interp)
+            d = detect_mod.detect_fused(bases[o], taps, _octave_cfg(cfg, o),
+                                        sub, interpret=interp)
             dets.append(d._replace(y=d.y + off))
             sub *= 2.0
         if _sample_mode(cfg) == "blk" and _use_pallas(cfg):
@@ -204,8 +223,9 @@ def _detect_impl(img, cfg: SiftConfig, mats):
     octaves = pyramid.build_pyramid(img, cfg, mats if mats else None)
     atlas, offsets = _build_atlas([o.base for o in octaves])
     dets = []
-    for oct_, off in zip(octaves, offsets):
-        d = detect_mod.detect(oct_.dog, cfg, oct_.subsampling)
+    for o, (oct_, off) in enumerate(zip(octaves, offsets)):
+        d = detect_mod.detect(oct_.dog, _octave_cfg(cfg, o),
+                              oct_.subsampling)
         dets.append(d._replace(y=d.y + off))
     return atlas, dets
 

@@ -62,6 +62,12 @@ def main():
         return SiftConfig(
             num_octaves=5,
             max_pts_per_octave=per_octave,
+            # Per-octave adaptive caps: detection counts fall ~2x per
+            # octave past octave 1 (diag_counts r5) while top-k/gather/
+            # sample costs scale with SLOTS; device A/B at up_t2.0:
+            # 14.24 -> 13.45 ms/extract at identical feature counts.
+            octave_caps=(per_octave, per_octave, per_octave // 2,
+                         per_octave // 4, per_octave // 8),
             sample_cap=16384,
             thresh=thresh,
             init_blur=1.0,

@@ -53,11 +53,19 @@ def main():
         thresh = float(which.split("_t", 1)[1])
         base = SiftConfig(
             num_octaves=5, max_pts_per_octave=4096, sample_cap=16384,
+            octave_caps=(4096, 4096, 2048, 1024, 512),
             thresh=thresh, up_scale=up, init_blur=1.0,
         )
 
     cfgs = {f"bk{b}": dataclasses.replace(base, sample_block_k=b)
-            for b in (32, 48, 64)}
+            for b in (32, 64)}
+    if base.up_scale:
+        # Per-octave adaptive caps: counts at up_t2.0 are 4096/4096/
+        # 1895/722/247 — deep octaves pay top-k/gather/sample cost for
+        # slots they never fill (SiftConfig.octave_caps).
+        cfgs["bk64_ocaps"] = dataclasses.replace(
+            base, sample_block_k=64,
+            octave_caps=(4096, 4096, 2048, 1024, 512))
     # Select-mode rider: O(n) cumsum compaction (the reference's append
     # semantics, cudaSiftD.cu:1420) instead of the 2-level exact top-k
     # — the select stage measured 3.94 ms of the 16.6 ms extract (r5

@@ -65,6 +65,7 @@ def main():
         thresh = float(which.split("_t", 1)[1])
         cfg = SiftConfig(
             num_octaves=5, max_pts_per_octave=4096, sample_cap=16384,
+            octave_caps=(4096, 4096, 2048, 1024, 512),
             thresh=thresh, up_scale=up,
             init_blur=1.0,  # mainSift.cpp:59 — the published tables' config
         )

@@ -49,6 +49,7 @@ def main():
     img = jnp.asarray(load_gray("/root/reference/CudaSift/data/left.pgm"))
     cfg = SiftConfig(
         num_octaves=5, max_pts_per_octave=4096, sample_cap=16384,
+        octave_caps=(4096, 4096, 2048, 1024, 512),
         thresh=2.0, up_scale=True, init_blur=1.0,
     )
     mats = frontend._mats_for(img.shape, cfg)
