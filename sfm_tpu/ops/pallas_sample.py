@@ -239,10 +239,27 @@ def _sample_matmul_wide(patch, px, py, P, precision=None):
     idx_c = jax.lax.broadcasted_iota(jnp.int32, (P, S), 0).astype(jnp.float32)
     A = jnp.maximum(0.0, 1.0 - jnp.abs(py - idx_r))  # [rows_n, S]
     B = jnp.maximum(0.0, 1.0 - jnp.abs(px - idx_c))  # [P, S]
-    tmp = jax.lax.dot_general(
-        patch, A, _DN_ROWS, preferred_element_type=jnp.float32,
-        precision=precision,
-    )                                                # [P, S]
+    if precision == "x3":
+        # Manual bf16x3: Mosaic lowers only DEFAULT and HIGHEST
+        # (bf16x6) dot precisions; the orientation path needs full
+        # per-operand f32 mantissa coverage (gradient differences
+        # amplify bf16 input rounding, r2 diag_hist) but not the x6
+        # product accuracy — splitting each operand into (hi, lo)
+        # bf16 parts and dropping the lo*lo term is exactly bf16x3 at
+        # HALF the MXU passes of HIGHEST.
+        ph = patch.astype(jnp.bfloat16).astype(jnp.float32)
+        pl_ = patch - ph
+        ah = A.astype(jnp.bfloat16).astype(jnp.float32)
+        al = A - ah
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, _DN_ROWS, preferred_element_type=jnp.float32,
+        )
+        tmp = dot(ph, ah) + dot(ph, al) + dot(pl_, ah)
+    else:
+        tmp = jax.lax.dot_general(
+            patch, A, _DN_ROWS, preferred_element_type=jnp.float32,
+            precision=precision,
+        )                                            # [P, S]
     return jnp.sum(tmp * B, axis=0, keepdims=True)   # [1, S]
 
 
@@ -441,11 +458,11 @@ def descriptor_sample(img, x, y, scale, orientation_deg, count=None, *,
 # Orientation sampling precision: the histogram takes central
 # differences of the sampled values, so single-pass bf16 MXU inputs
 # put ~3% noise on the gradients (r2 device study, tools/diag_hist.py)
-# — the dot needs a multi-pass precision.  HIGH (bf16x3) would halve
-# the MXU passes of HIGHEST (bf16x6) at full per-operand f32 mantissa
-# coverage, but Mosaic's dot lowering supports only DEFAULT and
-# HIGHEST (NotImplementedError, r5) — HIGHEST stays.
-_ORI_PRECISION = jax.lax.Precision.HIGHEST
+# — the dot needs a multi-pass precision.  Mosaic's dot lowering
+# supports only DEFAULT and HIGHEST (bf16x6); "x3" selects the manual
+# bf16x3 operand split in _sample_matmul_wide — full per-operand f32
+# mantissa coverage at half the HIGHEST MXU passes.
+_ORI_PRECISION = "x3"
 
 
 def _orient_sample_wide(patch, fx, fy, P):
