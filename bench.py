@@ -66,9 +66,16 @@ def main():
     K = jnp.asarray(
         np.array([[2360.0, 0, w / 2], [0, 2360.0, h / 2], [0, 0, 1]], np.float32)
     )
+    # n_hyps=1536: the r5 bad-seed root cause was the 1024-hypothesis
+    # bank lacking a good-basin draw on ~2/8 seeds (replay_geometry,
+    # NOTES_R5); 1536 rescues every seed on both the CPU and device
+    # match sets.  tvote_rounds=0: with the probe multi-start + the
+    # bigger bank, the translation re-vote buys nothing on this pair
+    # (device 8-seed A/B: min valid 1022 vs 1026) and costs 0.86 ms.
     cfg = PipelineConfig(
         sift=SiftConfig(max_pts_per_octave=1024),
-        ransac=RansacConfig(n_hyps=1024, threshold=3e-6, chunk=256),
+        ransac=RansacConfig(n_hyps=1536, threshold=3e-6, chunk=256),
+        tvote_rounds=0,
     )
     jax.block_until_ready((img1, img2, K))
 

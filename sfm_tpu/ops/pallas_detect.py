@@ -66,12 +66,15 @@ def _make_kernel(TH: int, TW: int, W: int, H: int, S: int,
         # shapes 128-aligned on the lane dimension.
         slab = slab_ref[...]
 
-        # Blur bank + DoG.  dog[p][y, x] covers image rows
+        # ROLLING blur bank + DoG (r5): only 3 DoG planes (and their
+        # horizontal 3-extrema) are live at once instead of all 7 —
+        # the all-planes form held ~28 MB live at TH=64 and OOM'd the
+        # 16 MB scoped VMEM, pinning the tile height at 32.  Plane p's
+        # blur is computed on demand; scale s is processed as soon as
+        # dog[s+1] exists.  dog[p][y, x] covers image rows
         # (i*TH - 1 + y) and cols (j*TW - 1 + x): a one-pixel halo
         # around the tile for the NMS/refine stencils.
-        dog = []
-        prev = None
-        for p in range(n_planes):
+        def blur(p):
             colb = jnp.zeros((TH + 2, TW + 128), jnp.float32)
             for k in range(2 * _R + 1):
                 colb = colb + np.float32(taps[p][k]) * jax.lax.slice(
@@ -82,9 +85,7 @@ def _make_kernel(TH: int, TW: int, W: int, H: int, S: int,
                 rowb = rowb + np.float32(taps[p][k]) * jax.lax.slice(
                     colb, (0, 3 + k), (TH + 2, 3 + k + TW + 2)
                 )
-            if prev is not None:
-                dog.append(rowb - prev)
-            prev = rowb
+            return rowb
 
         def sub(a, dy, dx):
             """Center-tile view shifted by (dy, dx): [TH, TW]."""
@@ -92,14 +93,8 @@ def _make_kernel(TH: int, TW: int, W: int, H: int, S: int,
                 a, (1 + dy, 1 + dx), (1 + dy + TH, 1 + dx + TW)
             )
 
-        # Separable 26-neighbor bounds (mirrors detect._neighbor_extrema):
-        # horizontal 3-max/min per plane on the full [TH+2, TW+2] halo.
-        hmax = [jnp.maximum(
-                    jnp.maximum(a[:, : TW], a[:, 1 : TW + 1]), a[:, 2 :]
-                ) for a in dog]
-        hmin = [jnp.minimum(
-                    jnp.minimum(a[:, : TW], a[:, 1 : TW + 1]), a[:, 2 :]
-                ) for a in dog]
+        def h3(a, agg):
+            return agg(agg(a[:, : TW], a[:, 1 : TW + 1]), a[:, 2 :])
 
         def rows3(h, agg):
             return agg(agg(h[: TH], h[1 : TH + 1]), h[2 :])
@@ -113,25 +108,43 @@ def _make_kernel(TH: int, TW: int, W: int, H: int, S: int,
         best = jnp.full((TH, TW), -1.0, jnp.float32)
         sel = [jnp.zeros((TH, TW), jnp.float32)
                for _ in range(11 if lean else 6)]
-        for s in range(1, S + 1):
-            c = dog[s]
+        # Rolling window: dog/hmax/hmin hold planes [s-1, s, s+1].
+        b_prev = blur(0)
+        dog = []
+        hmax = []
+        hmin = []
+        for p in range(1, n_planes):
+            bp = blur(p)
+            d = bp - b_prev
+            b_prev = bp
+            dog.append(d)
+            hmax.append(h3(d, jnp.maximum))
+            hmin.append(h3(d, jnp.minimum))
+            if len(dog) > 3:
+                dog.pop(0)
+                hmax.pop(0)
+                hmin.pop(0)
+            if len(dog) < 3:
+                continue
+            s = p - 2  # center plane index into the 7 DoG planes
+            c = dog[1]
             val = sub(c, 0, 0)
             inp_max = jnp.maximum(
-                jnp.maximum(hmax[s][: TH], hmax[s][2 :]),
+                jnp.maximum(hmax[1][: TH], hmax[1][2 :]),
                 jnp.maximum(sub(c, 0, -1), sub(c, 0, 1)),
             )
             inp_min = jnp.minimum(
-                jnp.minimum(hmin[s][: TH], hmin[s][2 :]),
+                jnp.minimum(hmin[1][: TH], hmin[1][2 :]),
                 jnp.minimum(sub(c, 0, -1), sub(c, 0, 1)),
             )
             maxv = jnp.maximum(
-                jnp.maximum(rows3(hmax[s - 1], jnp.maximum),
-                            rows3(hmax[s + 1], jnp.maximum)),
+                jnp.maximum(rows3(hmax[0], jnp.maximum),
+                            rows3(hmax[2], jnp.maximum)),
                 inp_max,
             )
             minv = jnp.minimum(
-                jnp.minimum(rows3(hmin[s - 1], jnp.minimum),
-                            rows3(hmin[s + 1], jnp.minimum)),
+                jnp.minimum(rows3(hmin[0], jnp.minimum),
+                            rows3(hmin[2], jnp.minimum)),
                 inp_min,
             )
             cand = (val > jnp.maximum(jnp.float32(thresh), maxv)) | (
@@ -144,8 +157,8 @@ def _make_kernel(TH: int, TW: int, W: int, H: int, S: int,
             xp = sub(c, 0, 1)
             ym = sub(c, -1, 0)
             yp = sub(c, 1, 0)
-            sm = sub(dog[s - 1], 0, 0)
-            sp = sub(dog[s + 1], 0, 0)
+            sm = sub(dog[0], 0, 0)
+            sp = sub(dog[2], 0, 0)
             dxx = 2.0 * val - xm - xp
             dyy = 2.0 * val - ym - yp
             dss = 2.0 * val - sm - sp
@@ -153,12 +166,12 @@ def _make_kernel(TH: int, TW: int, W: int, H: int, S: int,
                 sub(c, 1, 1) + sub(c, -1, -1) - sub(c, -1, 1) - sub(c, 1, -1)
             )
             dxs = 0.25 * (
-                sub(dog[s + 1], 0, 1) + sub(dog[s - 1], 0, -1)
-                - sub(dog[s - 1], 0, 1) - sub(dog[s + 1], 0, -1)
+                sub(dog[2], 0, 1) + sub(dog[0], 0, -1)
+                - sub(dog[0], 0, 1) - sub(dog[2], 0, -1)
             )
             dys = 0.25 * (
-                sub(dog[s + 1], 1, 0) + sub(dog[s - 1], -1, 0)
-                - sub(dog[s + 1], -1, 0) - sub(dog[s - 1], 1, 0)
+                sub(dog[2], 1, 0) + sub(dog[0], -1, 0)
+                - sub(dog[2], -1, 0) - sub(dog[0], 1, 0)
             )
             dx = 0.5 * (xp - xm)
             dy = 0.5 * (yp - ym)

@@ -78,9 +78,10 @@ def main():
 
         return lambda: run(bases)
 
-    # (r5: tile_cols 4096 / tile_rows 128 OOM the 16 MB scoped VMEM —
-    # the kernel holds ~11 per-tile maps + 8 blur planes live.)
-    shapes = [(32, 1024), (64, 1024), (16, 1024), (32, 2048)]
+    # (r5: with the all-planes kernel, tile_rows 64 / tile_cols 2048
+    # OOM'd the 16 MB scoped VMEM; the rolling 3-plane window frees
+    # ~half the live set — re-sweep.)
+    shapes = [(32, 1024), (64, 1024), (64, 2048), (128, 1024)]
     variants = {f"t{tr}x{tc}": make(tr, tc) for tr, tc in shapes}
     for name, fn in variants.items():
         t0 = time.time()
