@@ -246,20 +246,23 @@ def _make_kernel(bm: int, bn: int, n2_blocks: int):
 )
 def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int | None = None,
                       bn: int | None = None, bf16: bool = True,
-                      interpret: bool = False, variant: str = "lanes"):
+                      interpret: bool = False, variant: str = "lanes_pair"):
     """Running top-2 correlation of [N1,128] vs [N2,128] (Pallas).
 
     Returns (best [N1] f32, second [N1] f32, index [N1] i32) — the
     same contract as sift.match.match_descriptors_top2.  N1/N2 are
     padded to the block sizes internally.
 
-    variant="lanes" (default): per-lane-column running top-2 with one
-    final cross-lane merge — fewer VPU passes; 16K x 16K measured
-    3.64 ms vs 4.47 for "tile" (r3/r4, tools/bench_match.py; reference
-    kernel 10.53 ms).  variant="tile": per-tile exact top-2 folded
-    into a [BM, 8] accumulator.  Same results up to tie-breaking —
-    "tile" keeps the lowest column index on EXACTLY equal scores,
-    "lanes" the lowest lane.
+    variant="lanes_pair" (default, r5): per-lane-column running top-2
+    with a pairwise group pre-sort — two 128-col groups sort against
+    each other first, then one (best, second) merge absorbs the pair,
+    HALVING the serial accumulator chain per tile (same-process A/B at
+    16K x 16K: 3.81 vs 3.99 ms for "lanes"; reference kernel
+    10.53 ms).  variant="lanes": the r3/r4 per-group merge.
+    variant="tile": per-tile exact top-2 folded into a [BM, 8]
+    accumulator.  Same results up to tie-breaking — "tile" keeps the
+    lowest column index on EXACTLY equal scores, the lane variants the
+    lowest lane.
 
     bm/bn default to a size-adaptive sweep winner (tools/bench_match.py
     r3): bigger tiles amortize per-tile fixed VPU passes once the
@@ -302,8 +305,8 @@ def match_top2_pallas(desc1, desc2, valid2=None, *, bm: int | None = None,
     n2_blocks = n2p // bn
 
     if lanes_like:
-        mk = (_make_kernel_lanes_pair if variant == "lanes_pair"
-              else _make_kernel_lanes)
+        pair = variant == "lanes_pair" and (bn // 128) % 2 == 0
+        mk = _make_kernel_lanes_pair if pair else _make_kernel_lanes
         kernel = mk(bm, bn, n2_blocks)
         scratch = [pltpu.VMEM((bm, 128), jnp.float32) for _ in range(3)]
     else:

@@ -62,9 +62,12 @@ def main():
     K = jnp.asarray(
         np.array([[2360.0, 0, w / 2], [0, 2360.0, h / 2], [0, 0, 1]], np.float32)
     )
+    # Keep in sync with bench.py's config so the stage table sums to
+    # the headline number (r5: n_hyps=1536, tvote_rounds=0).
     cfg = PipelineConfig(
         sift=SiftConfig(max_pts_per_octave=1024),
-        ransac=RansacConfig(n_hyps=1024, threshold=3e-6, chunk=256),
+        ransac=RansacConfig(n_hyps=1536, threshold=3e-6, chunk=256),
+        tvote_rounds=0,
     )
     jax.block_until_ready((img1, img2, K))
 
