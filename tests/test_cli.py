@@ -84,3 +84,30 @@ def test_cli_sift_pair(tmp_path):
     # Descriptors are L2-normalized.
     n = np.linalg.norm(z["descriptors0"], axis=1)
     assert np.allclose(n[n > 0], 1.0, atol=1e-3)
+
+
+def test_view_ply_html_roundtrip(tmp_path, rng):
+    """tools/view_ply.py: PLY -> self-contained HTML viewer (the
+    headless replacement for the reference's GLFW orbit viewer,
+    src/main.cpp:318-352).  The embedded base64 buffer must decode to
+    the exact point set and no template markers may survive."""
+    import base64
+    import numpy as np
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
+                                      "tools"))
+    import view_ply
+    from sfm_tpu.io.image_io import save_ply
+
+    pts = rng.normal(size=(257, 3)).astype(np.float32)
+    p = tmp_path / "cloud.ply"
+    save_ply(str(p), pts)
+    out = tmp_path / "cloud.html"
+    xyz, rgb = view_ply.load_ply(str(p))
+    np.testing.assert_allclose(xyz, pts, rtol=1e-6)
+    view_ply.write_html(xyz, rgb, str(out))
+    html = out.read_text()
+    assert "@B64@" not in html and "@N@" not in html and "@RGB@" not in html
+    b64 = html.split('atob("', 1)[1].split('")', 1)[0]
+    dec = np.frombuffer(base64.b64decode(b64), np.float32).reshape(-1, 3)
+    np.testing.assert_array_equal(dec, xyz)
