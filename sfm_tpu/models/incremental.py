@@ -370,6 +370,7 @@ def _make_matcher(cfg: PipelineConfig, mesh):
     )
 
 
+@f32_matmul
 def run_incremental(
     images,
     K,

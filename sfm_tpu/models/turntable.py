@@ -56,6 +56,7 @@ def _rodrigues(axis, ang):
     return lie.so3_exp(axis / jnp.linalg.norm(axis) * ang)
 
 
+@f32_matmul
 def turntable_poses(model: TurntableModel, phases):
     """Generate [n] camera poses from the model at the given phases.
 
@@ -69,6 +70,7 @@ def turntable_poses(model: TurntableModel, phases):
     return R, t
 
 
+@f32_matmul
 def fit_turntable(R, t, *, close_loop: bool = True,
                   n_ring: int | None = None) -> TurntableModel:
     """Fit the turntable model to a chain reconstruction.
@@ -148,6 +150,7 @@ def _params_to_model(p, base: TurntableModel):
     return base._replace(axis=axis, center=base.center + p[2:5])
 
 
+@f32_matmul
 def undistort_pixels(uv_pix, c, f, k1, k2, *, fp_iters: int = 5):
     """Observed pixels -> normalized coords under (f, c, k1, k2).
 
@@ -385,6 +388,7 @@ def _anneal_free_ba(R, t, cam_idx, pt_idx, uv_n, mask, n_tracks, f_px,
     return R, t, X, keep, r
 
 
+@f32_matmul
 def reconstruct_turntable(
     feats,
     R_chain,
@@ -402,6 +406,12 @@ def reconstruct_turntable(
     snap_rounds: int = 1,
 ) -> TurntableResult:
     """Productized turntable pipeline (host driver).
+
+    Decorated with f32_matmul (r5): the driver's EAGER einsums (axis
+    fits, residual pruning, snap projections) otherwise hit the MXU at
+    default bf16 on device, outside every jitted f32 scope — the
+    device 36-frame drive measured 9.92 +- 2.22 deg/step where the CPU
+    run gives 10.00 +- 0.11 (NOTES_R5).
 
     The r2 investigation (NOTES_R2.md) established that on
     turntable-through-object data the chain reconstruction collapses

@@ -57,7 +57,7 @@ def _make_kernel_lanes(bm: int, bn: int, n2_blocks: int):
         scores = jax.lax.dot_general(
             d1_ref[:, :], d2_ref[:, :],
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
         )  # [BM, BN]
         scores = scores + (v2_ref[:, :] - 1.0) * 1e3
 
@@ -133,7 +133,7 @@ def _make_kernel_lanes_pair(bm: int, bn: int, n2_blocks: int):
         scores = jax.lax.dot_general(
             d1_ref[:, :], d2_ref[:, :],
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
         )  # [BM, BN]
         scores = scores + (v2_ref[:, :] - 1.0) * 1e3
 
@@ -198,7 +198,7 @@ def _make_kernel(bm: int, bn: int, n2_blocks: int):
         scores = jax.lax.dot_general(
             d1_ref[:, :], d2_ref[:, :],
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
         )  # [BM, BN]
         # Invalid right-side points score -1000 (v2 is 1.0/0.0).
         scores = scores + (v2_ref[:, :] - 1.0) * 1e3

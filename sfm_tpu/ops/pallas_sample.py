@@ -252,13 +252,16 @@ def _sample_matmul_wide(patch, px, py, P, precision=None):
         ah = A.astype(jnp.bfloat16).astype(jnp.float32)
         al = A - ah
         dot = lambda a, b: jax.lax.dot_general(
-            a, b, _DN_ROWS, preferred_element_type=jnp.float32,
+            a, b, _DN_ROWS, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
         )
         tmp = dot(ph, ah) + dot(ph, al) + dot(pl_, ah)
     else:
         tmp = jax.lax.dot_general(
             patch, A, _DN_ROWS, preferred_element_type=jnp.float32,
-            precision=precision,
+            # None must resolve to an EXPLICIT DEFAULT: inside Mosaic
+            # the ambient default_matmul_precision of an f32-wrapped
+            # caller would otherwise leak in and fail to lower (r5).
+            precision=precision or jax.lax.Precision.DEFAULT,
         )                                            # [P, S]
     return jnp.sum(tmp * B, axis=0, keepdims=True)   # [1, S]
 
@@ -327,11 +330,12 @@ def _desc_post_wide(vals, w2dw_ref, wsp16_ref, perm_ref):
         )
         cols.append(jax.lax.dot_general(
             grad * wa, wsp16_ref[:, :], dn,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
         ))                                    # [B, 16]
     cat = jnp.concatenate(cols, axis=1)       # [B, 128], a-major
     return jax.lax.dot_general(
-        cat, perm_ref[:, :], dn, preferred_element_type=jnp.float32
+        cat, perm_ref[:, :], dn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )                                         # [B, 128], q = sp*8 + a
 
 
@@ -509,7 +513,8 @@ def _orient_post_wide(vals, inv2s2):
             [jnp.where(iota32 == bins[k:k + 1, :], 1.0, 0.0)
              for k in range(B)], axis=0)                    # [B*32, 121]
         RES = jax.lax.dot_general(
-            gw, OH, _DN_LANE, preferred_element_type=jnp.float32
+            gw, OH, _DN_LANE, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )                                                   # [B, B*32]
         rowi = jax.lax.broadcasted_iota(jnp.int32, (B, B * 32), 0)
         coli = jax.lax.broadcasted_iota(jnp.int32, (B, B * 32), 1)
@@ -526,7 +531,9 @@ def _orient_post_wide(vals, inv2s2):
     for k in range(B):
         oh = jnp.where(iota32 == bins[k:k + 1, :], 1.0, 0.0)  # [32, 121]
         rows.append(jax.lax.dot_general(
-            gw[k:k + 1, :], oh, _DN_LANE, preferred_element_type=jnp.float32
+            gw[k:k + 1, :], oh, _DN_LANE,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         ))
     return rows[0] if B == 1 else jnp.concatenate(rows, axis=0)  # [B, 32]
 
@@ -704,7 +711,8 @@ def _make_fused_kernel(block_k: int, phases: int = 5, blk: bool = False):
             # --- phase 2: batched orientation post + dual peaks ---
             h = _orient_post_wide(ovals, jnp.concatenate(i2rows, axis=0))
             hlr = jnp.dot(h, smp_ref[:, :],
-                          preferred_element_type=jnp.float32)  # [B, 96]
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)  # [B, 96]
             hs = hlr[:, 0:32]
             left = hlr[:, 32:64]
             right = hlr[:, 64:96]
@@ -920,7 +928,8 @@ def _make_fused_kernel_win(block_k: int, phases: int = 5):
             # --- phase 2: batched orientation post + dual peaks ---
             h = _orient_post_wide(ovals, jnp.concatenate(i2rows, axis=0))
             hlr = jnp.dot(h, smp_ref[:, :],
-                          preferred_element_type=jnp.float32)  # [B, 96]
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)  # [B, 96]
             hs = hlr[:, 0:32]
             left = hlr[:, 32:64]
             right = hlr[:, 64:96]

@@ -68,6 +68,22 @@ def main():
         "probe16": dataclasses.replace(base, probe_starts=16),
         "probe0": dataclasses.replace(base, probe_starts=0),
     }
+    # r5 bench config (h1536 + tvote0) + geometry-trim variants: the
+    # geometry stage is 4.10 ms of the 7.56 ms pipeline (bench_stages);
+    # refine_rounds x refine_iters serial GN is the biggest slice.
+    b15 = dataclasses.replace(
+        base, ransac=dataclasses.replace(base.ransac, n_hyps=1536),
+        tvote_rounds=0)
+    cfgs.update({
+        "bench15": b15,
+        "bench15_it8": dataclasses.replace(b15, refine_iters=8),
+        "bench15_it6": dataclasses.replace(b15, refine_iters=6),
+        "bench15_r1it10": dataclasses.replace(b15, refine_rounds=1),
+        "bench15_r1it14": dataclasses.replace(
+            b15, refine_rounds=1, refine_iters=14),
+        "bench15_chunk512": dataclasses.replace(
+            b15, ransac=dataclasses.replace(b15.ransac, chunk=512)),
+    })
     if args.only:
         names = args.only.split(",")
         cfgs = {k: v for k, v in cfgs.items() if k in names}
