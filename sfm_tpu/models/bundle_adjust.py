@@ -341,18 +341,30 @@ def run_ba(
     preconditioned CG on the Schur complement — O(O) memory, scales to
     any M*P and shards across a mesh), or "auto".
 
-    "auto" picks dense while Wg (+ its einsum twin) fits comfortably in
-    HBM: on the v5e chip the dense path measured 169.7 ms/LM-iter vs
-    CG's 487.6 at M=50/P=50k/O=400k (tools/bench_ba.py, r3) — one
-    MXU-shaped [P,M,6,3] einsum beats 32 scatter/gather-bound CG
-    matvecs — while M=200/P=100k (Wg 1.4 GB + broadcast copies)
-    overflows compile-time allocation, so the cutoff keeps Wg <= ~576
-    MB with ~3x headroom.
+    "auto" picks CG on TPU and size-gated dense on CPU:
+
+    * TPU (r5 forensics, tools/diag_ba_dev.py + NOTES_R5): the dense
+      path's jnp.linalg.solve of the damped [6M, 6M] Schur system is
+      an XLA LU whose accuracy collapses on gauge-degenerate systems —
+      on the 36-frame turntable free-BA stage (7-dim gauge null space
+      held only by LM damping) the device LM stalled 13% above the
+      CPU cost with 6x the step-angle spread, while the matrix-free
+      preconditioned CG on identical inputs matched CPU exactly.
+      CG is also the only option beyond Wg-memory scale.
+    * CPU LAPACK LU is accurate; dense measured 169.7 ms/LM-iter vs
+      CG's 487.6 at M=50/P=50k/O=400k on device (tools/bench_ba.py,
+      r3) — but that speed edge is not worth silently-wrong steps on
+      ill-conditioned problems, so dense remains opt-in on TPU.
+      Dense still overflows at M=200/P=100k (Wg 1.4 GB), hence the
+      size gate.
     """
     n_cams = R.shape[0]
     n_pts = X.shape[0]
     if solver == "auto":
-        solver = "dense" if n_cams * n_pts <= 8_000_000 else "cg"
+        if jax.default_backend() == "cpu":
+            solver = "dense" if n_cams * n_pts <= 8_000_000 else "cg"
+        else:
+            solver = "cg"
     c0 = robust_cost(R, t, X, problem, huber_delta)
 
     def step(state: BAState, _):

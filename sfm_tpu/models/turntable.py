@@ -517,6 +517,24 @@ def reconstruct_turntable(
             best = (score, model)
     model = best[1]
 
+    import os as _os
+
+    def _dbg(tag, R_, r_px_=None, keep_=None):
+        # SFM_TPU_TT_DEBUG=1: per-stage step spread to stderr — the
+        # device/CPU divergence forensics hook (NOTES_R5).
+        if not _os.environ.get("SFM_TPU_TT_DEBUG"):
+            return
+        import sys as _sys
+
+        st = _steps_deg_np(R_)
+        msg = f"[tt] {tag}: step {st.mean():.3f} +- {st.std():.3f} deg"
+        if r_px_ is not None and keep_ is not None:
+            k_ = _np.asarray(keep_)
+            if k_.any():
+                rms_ = float(_np.sqrt((_np.asarray(r_px_)[k_] ** 2).mean()))
+                msg += f", rms {rms_:.3f} px ({int(k_.sum())} obs)"
+        print(msg, file=_sys.stderr, flush=True)
+
     # --- final pinned LM with shared-intrinsics estimation ---
     model, intr, R, t, X, keep, rms = refine_turntable(
         model, ts.cam_idx, ts.pt_idx, ts.uv_pix, ts.mask, K,
@@ -525,6 +543,7 @@ def reconstruct_turntable(
         estimate_intrinsics=estimate_intrinsics,
     )
     f_est, k1, k2 = (float(intr[0]), float(intr[1]), float(intr[2]))
+    _dbg("pinned LM", R)
 
     # --- annealed free BA from the turntable basin ---
     if estimate_intrinsics:
@@ -533,10 +552,18 @@ def reconstruct_turntable(
         )
     else:
         uv_nd = uv_n0
+    dump = _os.environ.get("SFM_TPU_TT_DUMP")
+    if dump:
+        _np.savez(dump, R=_np.asarray(R), t=_np.asarray(t),
+                  cam_idx=_np.asarray(ts.cam_idx),
+                  pt_idx=_np.asarray(ts.pt_idx),
+                  uv_nd=_np.asarray(uv_nd), mask=_np.asarray(ts.mask),
+                  n_tracks=ts.n_tracks, f0=f0)
     R, t, X, keep, r_px = _anneal_free_ba(
         R, t, ts.cam_idx, ts.pt_idx, uv_nd, ts.mask, ts.n_tracks, f0,
         [(8.0, 64.0), (2.0, 12.0)], ba_iters,
     )
+    _dbg("free BA", R, r_px, keep)
     # --- snap to the fitted uniform ring and re-polish ---
     for _ in range(snap_rounds):
         model = fit_turntable(_jnp.asarray(R), _jnp.asarray(t), n_ring=n)
@@ -546,6 +573,7 @@ def reconstruct_turntable(
             R_s, t_s, ts.cam_idx, ts.pt_idx, uv_nd, ts.mask, ts.n_tracks,
             f0, [(4.0, 24.0), (2.0, 8.0)], ba_iters,
         )
+        _dbg("snap+BA", R, r_px, keep)
     model = fit_turntable(_jnp.asarray(R), _jnp.asarray(t), n_ring=n)
 
     steps = _steps_deg_np(R)

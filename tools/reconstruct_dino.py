@@ -85,6 +85,12 @@ def main():
     ap.add_argument("--cy", type=float, default=-1.0, help="<0 = h/2")
     ap.add_argument("--turntable", action="store_true",
                     help="circular-motion constrained reconstruction")
+    ap.add_argument("--save-feats", default=None,
+                    help="save extracted features to this npz and exit-"
+                    "free continue (device/CPU divergence forensics)")
+    ap.add_argument("--load-feats", default=None,
+                    help="skip extraction; load features from npz "
+                    "(replay another backend's frontend)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -131,11 +137,35 @@ def main():
 
     imgs = [None] * len(paths)
     feats = [None] * len(paths)
-    for i, im in iter_gray_frames(paths, depth=4):
-        imgs[i] = jnp.asarray(im)
-        feats[i] = frontend.extract_sift(imgs[i], cfg.sift)
-        if h is None:
-            h, w = imgs[i].shape
+    if args.load_feats:
+        d = np.load(args.load_feats)
+        from sfm_tpu.sift.frontend import Keypoints, SiftResult
+
+        nfr = int(d["n_frames"])
+        assert nfr == len(paths), (nfr, len(paths))
+        for i, im in iter_gray_frames(paths, depth=4):
+            imgs[i] = jnp.asarray(im)
+            if h is None:
+                h, w = imgs[i].shape
+        for i in range(nfr):
+            kp = Keypoints(*[jnp.asarray(d[f"f{i}_{f}"])
+                             for f in Keypoints._fields])
+            feats[i] = SiftResult(keypoints=kp,
+                                  descriptors=jnp.asarray(d[f"f{i}_desc"]))
+    else:
+        for i, im in iter_gray_frames(paths, depth=4):
+            imgs[i] = jnp.asarray(im)
+            feats[i] = frontend.extract_sift(imgs[i], cfg.sift)
+            if h is None:
+                h, w = imgs[i].shape
+    if args.save_feats:
+        out = {"n_frames": len(paths)}
+        for i, ft in enumerate(feats):
+            for f in ft.keypoints._fields:
+                out[f"f{i}_{f}"] = np.asarray(getattr(ft.keypoints, f))
+            out[f"f{i}_desc"] = np.asarray(ft.descriptors)
+        np.savez(args.save_feats, **out)
+        print(f"saved features to {args.save_feats}", file=sys.stderr)
     cx = args.cx if args.cx >= 0 else w / 2
     cy = args.cy if args.cy >= 0 else h / 2
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
